@@ -1,0 +1,253 @@
+"""Distributed warp: raster chunks x tile pyramid -> warped tile rows.
+
+This is the Spark lift of the reference's per-tile usage pattern
+(test.js:172-196: XYZ tile -> tileToBBOX -> windowed GeoTIFF read ->
+geowarp(...)): the windowed read becomes a cell-binned equi-join between
+the tile table and the raster-chunk table, and the warp call becomes a
+numpy kernel inside ``applyInPandas`` over tile groups.
+
+Scale design (north rule):
+- the tile<->chunk assignment is an EQUI-join on cell ids (both sides
+  explode the cells their bbox covers), so Catalyst shuffles on a key —
+  no O(tiles x chunks) theta join;
+- small chunk tables are broadcast instead (``join_strategy='broadcast'``,
+  the J3/J4 broadcast-join path, geowarp tests' single-source case);
+- each tile group stitches its matched chunk windows into one source
+  array (chunks are grid-aligned sub-windows of the same raster, with
+  halo duplication at ingest so box-stat windows never cross owners) and
+  runs the numpy kernel once — all pixel math vectorized, no per-row
+  Python.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+from ..grid.tiles import latlng_to_cell, tile_to_bbox_3857, tile_to_bbox_4326
+from ..kernels.affine import Geotransform
+from ..kernels.bbox import boolean_intersects, reproject_bbox
+from ..kernels.proj import transformer
+from ..kernels.warp import warp
+
+CHUNK_SCHEMA = StructType([
+    StructField("raster_id", StringType()),
+    StructField("srs", IntegerType()),
+    StructField("geotransform", ArrayType(DoubleType())),  # full-raster gt
+    StructField("row_off", IntegerType()),
+    StructField("col_off", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("bands", IntegerType()),
+    StructField("dtype", StringType()),
+    StructField("no_data", DoubleType()),
+    StructField("bbox_4326", ArrayType(DoubleType())),
+    StructField("data", BinaryType()),
+])
+
+TILE_OUT_SCHEMA = StructType([
+    StructField("raster_id", StringType()),
+    StructField("z", IntegerType()),
+    StructField("x", LongType()),
+    StructField("y", LongType()),
+    StructField("method", StringType()),
+    StructField("bands", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("dtype", StringType()),
+    StructField("data", BinaryType()),
+    StructField("n_chunks", IntegerType()),
+    StructField("valid_px", LongType()),
+])
+
+
+def chunks_to_df(spark: SparkSession, fixture, chunk=256, halo=8) -> DataFrame:
+    """Fixture dict -> chunk DataFrame (CHUNK_SCHEMA).  Halo rows/cols are
+    duplicated at ingest (SURVEY §7 hard-part 2) so any window reaching
+    <= halo px past a chunk edge sees true values."""
+    from ..sources.fixtures import chunk_fixture
+
+    rows = []
+    full_gt = fixture["geotransform"] or Geotransform.from_bbox(
+        fixture["bbox"], fixture["width"], fixture["height"]
+    ).gt
+    inv = transformer(fixture["srs"], 4326)
+    for ch in chunk_fixture(fixture, chunk=chunk, halo=halo):
+        bb = ch["bbox"]
+        bb4326 = reproject_bbox(bb, inv.transform, density=8, nan_strategy="skip")
+        g = Geotransform(full_gt)
+        # recover the halo-adjusted offsets from the chunk geotransform
+        c0, r0 = g.inverse(ch["geotransform"][0], ch["geotransform"][3])
+        rows.append({
+            "raster_id": ch["raster_id"],
+            "srs": int(ch["srs"]),
+            "geotransform": [float(v) for v in full_gt],
+            "row_off": int(round(float(r0))),
+            "col_off": int(round(float(c0))),
+            "height": ch["height"],
+            "width": ch["width"],
+            "bands": ch["bands"],
+            "dtype": ch["dtype"],
+            "no_data": None if ch["no_data"] is None else float(ch["no_data"]),
+            "bbox_4326": [float(v) for v in bb4326],
+            "data": ch["data"].tobytes(),
+        })
+    return spark.createDataFrame(pd.DataFrame(rows), schema=CHUNK_SCHEMA)
+
+
+def tiles_df(spark: SparkSession, zooms, bbox_4326=None) -> DataFrame:
+    """Tile pyramid table (FIXTURES.md §3) — generated with integer math."""
+    from ..grid.tiles import bbox_to_tiles
+
+    rows = []
+    for z in zooms:
+        if bbox_4326 is None:
+            n = 1 << z
+            xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+            xs, ys = xs.reshape(-1), ys.reshape(-1)
+        else:
+            xs, ys = bbox_to_tiles(bbox_4326, z)
+        for x, y in zip(xs.tolist(), ys.tolist()):
+            rows.append((z, int(x), int(y),
+                         tile_to_bbox_3857(x, y, z), tile_to_bbox_4326(x, y, z)))
+    schema = StructType([
+        StructField("z", IntegerType()), StructField("x", LongType()),
+        StructField("y", LongType()),
+        StructField("bbox_3857", ArrayType(DoubleType())),
+        StructField("bbox_4326", ArrayType(DoubleType())),
+    ])
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _cover_cells_sql(bbox_col, z):
+    """Cells (equirect z-grid) covered by a lon/lat bbox, as a Spark SQL
+    array expression — JVM-side, no UDF."""
+    n = 1 << z
+    zp = z << 58
+    x0 = f"CAST(least(greatest(floor(({bbox_col}[0] + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    x1 = f"CAST(least(greatest(floor(({bbox_col}[2] + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    y0 = f"CAST(least(greatest(floor((90.0 - {bbox_col}[3]) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    y1 = f"CAST(least(greatest(floor((90.0 - {bbox_col}[1]) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    return (
+        f"flatten(transform(sequence({x0}, {x1}), cx -> "
+        f"transform(sequence({y0}, {y1}), cy -> {zp}L + cx * {1 << 29}L + cy)))"
+    )
+
+
+def warp_tiles(tiles: DataFrame, chunks: DataFrame, *, method="near",
+               out_size=256, out_srs=3857, join_strategy="cells",
+               bin_z=6, out_dtype=None, turbo=False, **warp_kwargs) -> DataFrame:
+    """tiles x chunks -> warped tile rows (TILE_OUT_SCHEMA).
+
+    join_strategy:
+      'cells'     — explode cover cells on both sides, equi-join (scales:
+                    shuffle on cell id; AQE handles skewed cells)
+      'broadcast' — broadcast the chunk table, overlap predicate
+                    (single-raster / small-source case)
+    """
+    tile_key = "bbox_4326"
+    if join_strategy == "cells":
+        t = tiles.withColumn("cell", F.explode(F.expr(_cover_cells_sql(tile_key, bin_z))))
+        c = chunks.withColumnRenamed("bbox_4326", "chunk_bbox_4326").withColumn(
+            "cell", F.explode(F.expr(_cover_cells_sql("chunk_bbox_4326", bin_z)))
+        )
+        joined = t.join(c, "cell").drop("cell").dropDuplicates(
+            ["raster_id", "z", "x", "y", "row_off", "col_off"]
+        )
+    else:
+        cond = (
+            (F.col("t.bbox_4326")[0] <= F.col("c.bbox_4326")[2])
+            & (F.col("t.bbox_4326")[2] >= F.col("c.bbox_4326")[0])
+            & (F.col("t.bbox_4326")[1] <= F.col("c.bbox_4326")[3])
+            & (F.col("t.bbox_4326")[3] >= F.col("c.bbox_4326")[1])
+        )
+        joined = tiles.alias("t").join(
+            F.broadcast(chunks.alias("c")), cond
+        ).select("t.*", *[F.col(f"c.{f.name}").alias(f.name) for f in CHUNK_SCHEMA
+                          if f.name != "bbox_4326"],
+                 F.col("c.bbox_4326").alias("chunk_bbox_4326"))
+
+    method_name = method if isinstance(method, str) else "custom"
+
+    def warp_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        z, x, y = int(first["z"]), int(first["x"]), int(first["y"])
+        srs = int(first["srs"])
+        full_gt = list(first["geotransform"])
+        g = Geotransform(full_gt)
+        bands = int(first["bands"])
+        dt = np.dtype(first["dtype"])
+        r0 = int(pdf["row_off"].min())
+        c0 = int(pdf["col_off"].min())
+        r1 = int((pdf["row_off"] + pdf["height"]).max())
+        c1 = int((pdf["col_off"] + pdf["width"]).max())
+        mosaic = np.full((bands, r1 - r0, c1 - c0), np.nan)
+        for _, row in pdf.iterrows():
+            block = np.frombuffer(row["data"], dtype=dt).reshape(
+                bands, int(row["height"]), int(row["width"])
+            )
+            rr = int(row["row_off"]) - r0
+            cc = int(row["col_off"]) - c0
+            mosaic[:, rr : rr + block.shape[1], cc : cc + block.shape[2]] = block
+
+        sub_x0, sub_y0 = g.forward(float(c0), float(r0))
+        sub_gt = [float(sub_x0), full_gt[1], full_gt[2], float(sub_y0), full_gt[4], full_gt[5]]
+        cs = np.array([0.0, c1 - c0, 0.0, c1 - c0])
+        rs = np.array([0.0, 0.0, r1 - r0, r1 - r0])
+        gx, gy = Geotransform(sub_gt).forward(cs, rs)
+        in_bbox = [gx.min(), gy.min(), gx.max(), gy.max()]
+
+        out_bbox = tile_to_bbox_3857(x, y, z) if out_srs == 3857 else tile_to_bbox_4326(x, y, z)
+        no_data = first["no_data"]
+        res = warp(
+            in_data=mosaic,
+            in_bbox=in_bbox,
+            in_geotransform=sub_gt,
+            in_srs=srs,
+            in_height=r1 - r0,
+            in_width=c1 - c0,
+            in_no_data=None if pd.isna(no_data) else float(no_data),
+            out_bbox=out_bbox,
+            out_srs=out_srs,
+            out_width=out_size,
+            out_height=out_size,
+            method=method,
+            out_dtype=out_dtype or str(dt),
+            turbo=turbo,
+            **warp_kwargs,
+        )
+        block = res["block"]
+        return pd.DataFrame([{
+            "raster_id": first["raster_id"],
+            "z": z, "x": x, "y": y,
+            "method": method_name,
+            "bands": int(block.shape[0]),
+            "height": int(block.shape[1]),
+            "width": int(block.shape[2]),
+            "dtype": str(block.dtype),
+            "data": block.tobytes(),
+            "n_chunks": int(len(pdf)),
+            "valid_px": int(np.isfinite(block.astype(np.float64)).sum()),
+        }])
+
+    return joined.groupBy("raster_id", "z", "x", "y").applyInPandas(
+        warp_group, schema=TILE_OUT_SCHEMA
+    )
+
+
+def warp_fixture_to_tiles(spark, fixture, zooms, method="near", out_size=256,
+                          chunk=256, halo=8, **kw) -> DataFrame:
+    """Convenience: fixture -> chunks -> covering tiles -> warp."""
+    chunks = chunks_to_df(spark, fixture, chunk=chunk, halo=halo)
+    inv = transformer(fixture["srs"], 4326)
+    bb4326 = reproject_bbox(fixture["bbox"], inv.transform, density=16, nan_strategy="skip")
+    tiles = tiles_df(spark, zooms, bbox_4326=bb4326)
+    return warp_tiles(tiles, chunks, method=method, out_size=out_size, **kw)
