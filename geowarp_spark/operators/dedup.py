@@ -1,0 +1,188 @@
+"""Deduplication operators over the documents/pages tables.
+
+All candidate generation stays JVM-side (xxhash64, array HOFs) so the hot
+path never leaves Tungsten; only verification that genuinely needs ragged
+set math uses Arrow pandas UDFs.  Each operator scales as
+shuffle-on-short-key:
+- exact:        groupBy(md5(text)) — one shuffle, combiner-friendly;
+- minhash LSH:  shingles -> m minhashes -> b bands -> groupBy(band hash)
+                -> candidate pairs within buckets (self-join on bucket,
+                bucket sizes are small by construction);
+- simhash:      64-bit fingerprint, candidates = equal fingerprint or
+                banded sub-fingerprints (hamming<=3 style);
+- ngram jaccard: token-set overlap via explode + pair-count join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Exact dedup: md5 grouping, keeper = min id (deterministic).
+    Returns (hash, keeper_id, n_dups)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _shingles(text_col, k=5):
+    """Word k-shingles as an array column (JVM-side)."""
+    toks = f"split(lower({text_col}), ' +')"
+    return F.expr(
+        f"CASE WHEN size({toks}) < {k} THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(0, size({toks}) - {k}), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {k}))) END"
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col="text", id_col="doc_id",
+                       num_hashes=32, shingle_k=5) -> DataFrame:
+    """MinHash signature per doc: sig[j] = min over shingles of
+    xxhash64(j, shingle).  array_min(transform(...)) keeps everything in
+    codegen — no Python."""
+    sh = docs.select(F.col(id_col), _shingles(text_col, shingle_k).alias("sh"))
+    sig = F.array(*[
+        F.expr(f"array_min(transform(sh, s -> xxhash64({j}, s)))").alias(f"m{j}")
+        for j in range(num_hashes)
+    ]).alias("sig")
+    return sh.select(id_col, sig)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col="text", id_col="doc_id",
+                      num_hashes=32, bands=8, shingle_k=5,
+                      jaccard_threshold=0.5) -> DataFrame:
+    """LSH candidate pairs + exact signature-jaccard verification.
+
+    banding: rows_per_band = num_hashes // bands; docs sharing any band
+    hash become candidates (groupBy band bucket -> self-join).  Verified
+    similarity = fraction of matching minhashes (unbiased jaccard
+    estimate).  Returns (id_a, id_b, sim) with id_a < id_b.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    banded = sigs.select(
+        id_col, "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        "0, (acc, v) -> acc + v)"
+    ) / F.lit(float(num_hashes))
+    return cand.select("id_a", "id_b", sim.alias("sim")).filter(
+        F.col("sim") >= jaccard_threshold
+    )
+
+
+def simhash(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """64-bit SimHash per doc, entirely in SQL: explode tokens, per-bit
+    majority vote via 64 conditional sums expressed as one aggregate over
+    bit positions."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(f"split(lower({text_col}), ' +')")).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    # sum(+1/-1) per bit, then pack sign bits
+    bit_sums = toks.groupBy(id_col).agg(*[
+        F.sum(F.when((F.shiftrightunsigned(F.col("th"), i) & F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ])
+    packed = None
+    for i in range(64):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(term, i)
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return bit_sums.select(id_col, packed.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, text_col="text", id_col="doc_id",
+                      band_bits=16) -> DataFrame:
+    """Near-dup candidates: docs sharing any of the 4 16-bit simhash bands
+    (guarantees recall for hamming distance <= 3), then exact hamming
+    verification via bit_count(xor)."""
+    sh = simhash(docs, text_col, id_col)
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     (F.shiftrightunsigned(F.col("simhash"), b * band_bits) & F.lit(mask)).alias("bh"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col="text", id_col="doc_id",
+                        n=3, threshold=0.3) -> DataFrame:
+    """Exact n-gram (word) Jaccard for all pairs sharing at least one
+    n-gram: |A ∩ B| from an equi-join on exploded distinct n-grams,
+    |A ∪ B| = |A| + |B| - |A ∩ B|.  One shuffle on the n-gram key; skew
+    from stop-n-grams is bounded by dropping the most frequent grams
+    (document frequency cap)."""
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(text_col, n))).alias("g"),
+    )
+    # df-cap: drop grams appearing in > 1% of docs (hot-key guard)
+    total = docs.count()
+    cap = max(2, int(total * 0.01))
+    hot = grams.groupBy("g").count().filter(F.col("count") > cap).select("g")
+    grams = grams.join(F.broadcast(hot), "g", "left_anti")
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.withColumnRenamed(id_col, "id_a")
+    b = grams.withColumnRenamed(id_col, "id_b")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sza"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "szb"), "id_b")
+        .withColumn("jaccard", F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dups(emb: DataFrame, threshold=0.95, id_col="vec_id",
+                        vec_col="embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH bucketing (see
+    similarity.lsh_buckets) + exact cosine verification."""
+    from .similarity import cosine_expr, lsh_bucket_expr
+
+    b = emb.withColumn("bucket", lsh_bucket_expr(vec_col, n_planes=12))
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"),
+                cosine_expr(f"l.{vec_col}", f"r.{vec_col}").alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

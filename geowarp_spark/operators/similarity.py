@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline; dot product via zip_with +
+  aggregate (JVM HOFs, stays in codegen) against a broadcast query set,
+  rank via window — one shuffle on query_id.
+- LSH-bucketed ANN: deterministic integer hyperplanes (no RNG — planes
+  are a fixed arithmetic function of (plane, dim) so results reproduce
+  across engines and cluster sizes); candidates = same bucket, exact
+  cosine re-rank.  The scale path: bucket join shuffles on a short key
+  instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a_col: str, b_col: str):
+    """Cosine similarity of two array columns, JVM-side."""
+    dot = f"aggregate(zip_with({a_col}, {b_col}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    na = f"sqrt(aggregate({a_col}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    nb = f"sqrt(aggregate({b_col}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+    return F.expr(f"({dot}) / nullif(({na}) * ({nb}), 0.0)")
+
+
+def lsh_bucket_expr(vec_col: str, n_planes=12):
+    """Sign-bit LSH bucket id from deterministic integer hyperplanes:
+    plane[p][i] = ((p * 31 + i * 17) % 7) - 3  (pure integer arithmetic —
+    identical in any engine, no RNG seed to ship)."""
+    bits = []
+    for p in range(n_planes):
+        dot = (
+            f"aggregate(zip_with({vec_col}, transform(sequence(0, size({vec_col}) - 1), "
+            f"i -> (({p} * 31 + i * 17) % 7) - 3), (x, w) -> CAST(x AS DOUBLE) * w), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(bits)).cast("bigint")
+
+
+def brute_force_topk(emb: DataFrame, queries: DataFrame, k=10,
+                     id_col="vec_id", vec_col="embedding",
+                     qid_col="query_id", qvec_col="qvec") -> DataFrame:
+    """Exact cosine top-k per query.  queries is broadcast (small)."""
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        emb.crossJoin(F.broadcast(queries))
+        .select(qid_col, id_col, cosine_expr(vec_col, qvec_col).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k=10, n_planes=8,
+             id_col="vec_id", vec_col="embedding",
+             qid_col="query_id", qvec_col="qvec") -> DataFrame:
+    """Approximate top-k: candidates from matching LSH bucket, exact
+    cosine re-rank within candidates.  Recall grows with fewer planes;
+    multiprobe (flip one bit) widens candidates at the same shuffle
+    shape."""
+    e = emb.withColumn("bucket", lsh_bucket_expr(vec_col, n_planes))
+    q = queries.withColumn("qbucket", lsh_bucket_expr(qvec_col, n_planes))
+    # multiprobe: the query's own bucket + all 1-bit flips
+    probes = F.array(*([F.col("qbucket")] + [
+        F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+    ]))
+    q = q.withColumn("bucket", F.explode(probes))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        e.join(F.broadcast(q), "bucket")
+        .select(qid_col, id_col, cosine_expr(vec_col, qvec_col).alias("cos"))
+        .dropDuplicates([qid_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k=10, n_centroids=16, n_probe=4,
+             id_col="vec_id", vec_col="embedding",
+             qid_col="query_id", qvec_col="qvec") -> DataFrame:
+    """IVF-style ANN with deterministic 'centroids': vectors are assigned
+    to the centroid (hash-derived pseudo-centroid grid) with max dot —
+    here centroids are deterministic integer plane combinations, so the
+    partition assignment is stable without a training pass.  Queries probe
+    the n_probe nearest centroids.  Implemented as: coarse bucket =
+    top-centroid id (JVM expr), candidates = bucket match."""
+    # reuse LSH machinery: centroid id = bucket of ceil(log2 n_centroids) planes
+    import math
+
+    planes = max(1, int(math.ceil(math.log2(n_centroids))))
+    e = emb.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
+    q = queries.withColumn("qbucket", lsh_bucket_expr(qvec_col, planes))
+    # probe the query bucket plus lowest-bit flips up to n_probe buckets
+    probes = [F.col("qbucket")] + [
+        F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(min(planes, max(0, n_probe - 1)))
+    ]
+    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        e.join(F.broadcast(q), "bucket")
+        .select(qid_col, id_col, cosine_expr(vec_col, qvec_col).alias("cos"))
+        .dropDuplicates([qid_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,170 @@
+"""Spatial joins over the pages/points tables: PIP, kNN, rollups.
+
+North-rule operators (BASELINE.json): geotagged pages are cell-encoded in
+batched JVM expressions (no UDF at all for the equirect scheme), spatially
+joined (point-in-polygon J1, kNN J5) against tile polygons, and rolled up
+the cell pyramid.  Plans are pure DataFrame ops so Catalyst broadcasts
+the (small) polygon/query side and pushes filters into the parquet scan.
+
+Skew: dense page clusters make a few cells huge.  ``salt_cells`` appends
+a deterministic salt to the shuffle key only (aggregation semantics
+unchanged — partial aggregates per (cell, salt) then final per cell),
+SURVEY §4 R-skew; AQE skew-join is the backstop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..grid.tiles import cell_sql_expr
+
+
+def pip_join_bbox(points: DataFrame, boxes: DataFrame, lon="lon", lat="lat") -> DataFrame:
+    """Point-in-rectangle join (tile polygons are axis-aligned bboxes —
+    the J4 tile-assignment join).  ``boxes`` needs columns
+    (tile_id, xmin, ymin, xmax, ymax); broadcast (the tile-polygon index
+    is small relative to pages — north rule 'broadcast of the
+    tile-polygon index')."""
+    p = points
+    cond = (
+        (F.col(lon) >= F.col("xmin")) & (F.col(lon) < F.col("xmax"))
+        & (F.col(lat) >= F.col("ymin")) & (F.col(lat) < F.col("ymax"))
+    )
+    return p.join(F.broadcast(boxes), cond)
+
+
+def pip_join_polygon(points: DataFrame, polys: DataFrame, lon="lon", lat="lat") -> DataFrame:
+    """Point-in-convex-polygon via half-plane sign tests, fully JVM-side.
+
+    ``polys``: (poly_id, xs:array<double>, ys:array<double>) with vertices
+    in counter-clockwise order (closed implicitly).  The point is inside
+    iff it is left-of-or-on every edge — expressed with aggregate() over
+    the vertex arrays, so Catalyst evaluates it without Python.  For
+    concave/multi-ring geometry use the numpy scanline kernel
+    (kernels.scanline) inside applyInPandas instead.
+    """
+    inside = F.expr(
+        "aggregate(sequence(0, size(xs) - 1), true, (acc, i) -> acc AND ("
+        " (xs[(i + 1) % size(xs)] - xs[i]) * ({lat} - ys[i])"
+        " - (ys[(i + 1) % size(ys)] - ys[i]) * ({lon} - xs[i]) >= 0))".format(lon=lon, lat=lat)
+    )
+    # coarse bbox prefilter (computed from the arrays) keeps the cross
+    # join cheap; broadcast the polygon side
+    pre = (
+        (F.col(lon) >= F.expr("array_min(xs)")) & (F.col(lon) <= F.expr("array_max(xs)"))
+        & (F.col(lat) >= F.expr("array_min(ys)")) & (F.col(lat) <= F.expr("array_max(ys)"))
+    )
+    return points.join(F.broadcast(polys), pre & inside)
+
+
+def knn_join(points: DataFrame, queries: DataFrame, k: int,
+             lon="lon", lat="lat", qlon="qlon", qlat="qlat",
+             point_id="doc_id", query_id="query_id") -> DataFrame:
+    """kNN join (J5): for each query point, the k nearest data points by
+    squared euclidean degree distance; deterministic tie-break on
+    (dist, point_id).  Queries are broadcast (small side); rank is a
+    window over the shuffled (query_id) partitions — one shuffle total.
+    """
+    d2 = (
+        (F.col(lon) - F.col(qlon)) * (F.col(lon) - F.col(qlon))
+        + (F.col(lat) - F.col(qlat)) * (F.col(lat) - F.col(qlat))
+    ).alias("dist2")
+    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(point_id).asc())
+    return (
+        points.crossJoin(F.broadcast(queries))
+        .select(query_id, point_id, d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
+                   ring: int = 1, lon="lon", lat="lat", qlon="qlon", qlat="qlat",
+                   point_id="doc_id", query_id="query_id") -> DataFrame:
+    """Scale path for kNN: candidate gather via cell-disk equi-join, then
+    exact rank refinement.  Falls back to widening the ring via a second
+    pass for queries with < k candidates (handled by caller; at a sane z
+    the disk is dense enough).  This is the H3 grid_disk pattern (SURVEY
+    J5) — candidates shuffle on cell id, never a full cross join.
+    """
+    n = 1 << z
+    pts = points.withColumn("cell", F.expr(cell_sql_expr(lon, lat, z)))
+    # explode each query's (2*ring+1)^2 cell disk — JVM sequence math
+    zp = z << 58
+    qx = f"CAST(least(greatest(floor(({qlon} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    qy = f"CAST(least(greatest(floor((90.0 - {qlat}) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    disk = (
+        f"flatten(transform(sequence(-{ring}, {ring}), dx -> "
+        f"transform(sequence(-{ring}, {ring}), dy -> "
+        f"{zp}L + pmod({qx} + dx, {n}) * {1 << 29}L + "
+        f"least(greatest({qy} + dy, 0), {n - 1}))))"
+    )
+    q = queries.withColumn("cell", F.explode(F.array_distinct(F.expr(disk))))
+    d2 = (
+        (F.col(lon) - F.col(qlon)) * (F.col(lon) - F.col(qlon))
+        + (F.col(lat) - F.col(qlat)) * (F.col(lat) - F.col(qlat))
+    ).alias("dist2")
+    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(point_id).asc())
+    return (
+        pts.join(q, "cell")
+        .select(query_id, point_id, d2)
+        .dropDuplicates([query_id, point_id])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cell_rollup(points: DataFrame, z_levels, lon="lon", lat="lat",
+                value_col=None) -> DataFrame:
+    """Tile-pyramid rollup (hypertable-rollup analog): count (+optional
+    mean) per cell at the finest level, then integer-math parent rollups —
+    each coarser level aggregates the previous one, not the raw points
+    (partial aggregation reuse, minimal shuffle)."""
+    z0 = max(z_levels)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("val_sum"))
+    base = points.withColumn("cell", F.expr(cell_sql_expr(lon, lat, z0))).groupBy(
+        "cell"
+    ).agg(*aggs).withColumn("z", F.lit(z0))
+    levels = [base]
+    prev = base
+    prev_z = z0
+    for z in sorted([z for z in z_levels if z != z0], reverse=True):
+        d = prev_z - z
+        # unpack, shift, repack with pure integer ops
+        x = ((F.col("cell") >> 29) & F.lit((1 << 29) - 1)) >> d
+        y = (F.col("cell") & F.lit((1 << 29) - 1)) >> d
+        pcell = (F.lit(z).cast("bigint") * F.lit(1 << 58).cast("bigint")) + (x * F.lit(1 << 29)) + y
+        rolled_aggs = [F.sum("n").alias("n")]
+        if value_col:
+            rolled_aggs.append(F.sum("val_sum").alias("val_sum"))
+        nxt = prev.withColumn("pcell", pcell).groupBy("pcell").agg(*rolled_aggs)
+        nxt = nxt.withColumnRenamed("pcell", "cell").withColumn("z", F.lit(z))
+        levels.append(nxt)
+        prev = nxt
+        prev_z = z
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+def salt_cells(df: DataFrame, cell_col="cell", salts=16, id_col="doc_id") -> DataFrame:
+    """Deterministic salt for skewed cell keys: shuffle key becomes
+    (cell, salt) — aggregate per salted key first, then merge per cell.
+    Salt derives from a stable id hash, never from randomness, so results
+    are reproducible across cluster sizes (north-rule determinism)."""
+    return df.withColumn("cell_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts)))
+
+
+def salted_cell_counts(points: DataFrame, z: int, lon="lon", lat="lat",
+                       id_col="doc_id", salts=16) -> DataFrame:
+    """Two-stage skew-safe per-cell count: partial agg on (cell, salt),
+    final agg on cell.  Same result as a direct groupBy(cell).count()
+    but the first shuffle spreads hot cells over `salts` reducers."""
+    withcell = points.withColumn("cell", F.expr(cell_sql_expr(lon, lat, z)))
+    salted = salt_cells(withcell, salts=salts, id_col=id_col)
+    partial = salted.groupBy("cell", "cell_salt").agg(F.count(F.lit(1)).alias("pn"))
+    return partial.groupBy("cell").agg(F.sum("pn").alias("n"))

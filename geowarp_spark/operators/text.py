@@ -1,0 +1,116 @@
+"""Text analysis over the documents/pages tables (SURVEY build brief:
+language-ID, quality scoring, token counting, fingerprinting).
+
+Everything is built-in pyspark.sql.functions — JVM-side, codegen'd; no
+Python in the hot path.  Each operator has a DuckDB-expressible analog
+(see __spark_entry__.oracle_sql) using only portable functions
+(length/replace/split/md5 — no engine-specific regex classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+    "ja": ["no", "wa", "ni", "wo", "ga"],
+}
+
+
+def token_stats(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (chars/4 rule of
+    thumb plus punctuation splits) + char count."""
+    toks = F.expr(f"size(split({text_col}, ' +'))")
+    chars = F.length(text_col)
+    spaces = chars - F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    bpe_est = F.ceil(chars / F.lit(4.0)).cast("bigint")
+    return docs.select(
+        F.col(id_col),
+        chars.alias("n_chars"),
+        toks.alias("n_tokens"),
+        spaces.alias("n_spaces"),
+        bpe_est.alias("n_bpe_est"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col="text", id_col="doc_id",
+                  lang_col="lang") -> DataFrame:
+    """Heuristic quality features + a composite score:
+    - mean word length (very long/short -> suspicious)
+    - stopword ratio (natural text has a healthy share)
+    - digit ratio, punct-ish ratio (replace-based counting — portable)
+    """
+    chars = F.length(text_col).cast("double")
+    toks = F.expr(f"size(split({text_col}, ' +'))").cast("double")
+    mean_word_len = chars / F.greatest(toks, F.lit(1.0))
+    digits = (chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))).cast("double")
+    stop_hits = None
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_hits = F.expr(
+        "size(filter(split(lower({t}), ' +'), w -> array_contains(array({lst}), w)))".format(
+            t=text_col, lst=", ".join(f"'{w}'" for w in all_stops)
+        )
+    ).cast("double")
+    stop_ratio = stop_hits / F.greatest(toks, F.lit(1.0))
+    digit_ratio = digits / F.greatest(chars, F.lit(1.0))
+    score = (
+        F.when((mean_word_len >= 3) & (mean_word_len <= 12), 0.4).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.4).otherwise(0.0)
+        + F.when(digit_ratio <= 0.3, 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col), F.col(lang_col),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Stopword-marker language ID: tokens joined against a broadcast
+    (lang, word) marker table; predicted lang = argmax hits with
+    deterministic tie-break (lang asc).  Returns (doc_id, pred_lang, hits).
+    Docs with zero marker hits predict 'und' (undetermined)."""
+    spark = docs.sparkSession
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws], ["mlang", "word"]
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(F.expr(f"split(lower({text_col}), ' +')")).alias("word")
+    )
+    hits = toks.join(F.broadcast(markers), "word").groupBy(id_col, "mlang").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("mlang").asc())
+    best = hits.withColumn("rk", F.row_number().over(w)).filter("rk = 1").select(
+        id_col, F.col("mlang").alias("pred_lang"), "hits"
+    )
+    return docs.select(id_col).join(best, id_col, "left").fillna(
+        {"pred_lang": "und", "hits": 0}
+    )
+
+
+def fingerprint(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+    """Document fingerprints: md5 full-text hash + a rolling-hash sketch
+    (min of 8-gram character window hashes — winnowing-style), both
+    JVM-side."""
+    grams = F.expr(
+        f"CASE WHEN length({text_col}) < 8 THEN array({text_col}) "
+        f"ELSE transform(sequence(1, length({text_col}) - 7), i -> substring({text_col}, i, 8)) END"
+    )
+    rolling_min = F.expr(
+        f"array_min(transform(CASE WHEN length({text_col}) < 8 THEN array({text_col}) "
+        f"ELSE transform(sequence(1, length({text_col}) - 7), i -> substring({text_col}, i, 8)) END, "
+        f"g -> xxhash64(g)))"
+    )
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("md5"),
+        rolling_min.alias("winnow_min"),
+    )

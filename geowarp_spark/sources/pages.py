@@ -66,9 +66,13 @@ def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    @F.pandas_udf("binary")
-    def html_udf(text: pd.Series) -> pd.Series:
+    # explicit annotations: `from __future__ import annotations` stringifies
+    # hints, which pandas_udf can't infer from
+    def _html(text):
         return make_html(text)
+
+    _html.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    html_udf = F.pandas_udf(_html, "binary")
 
     return docs.select(
         F.col("doc_id"),
