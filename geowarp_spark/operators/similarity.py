@@ -42,14 +42,45 @@ def lsh_bucket_expr(vec_col: str, n_planes=12):
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k=10,
                      id_col="vec_id", vec_col="embedding",
                      qid_col="query_id", qvec_col="qvec") -> DataFrame:
-    """Exact cosine top-k per query.  queries is broadcast (small)."""
-    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
-    return (
-        emb.crossJoin(F.broadcast(queries))
-        .select(qid_col, id_col, cosine_expr(vec_col, qvec_col).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    """Exact cosine top-k per query.
+
+    The query matrix is collected (small by contract) and broadcast to
+    executors; each Arrow batch computes all cosines with one float64
+    matmul — vectorized numpy instead of per-row interpreted HOF lambdas
+    (~100x faster at bench scale).  One shuffle: the rank window on
+    query_id."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    bq = emb.sparkSession.sparkContext.broadcast((qids, qm, qn))
+
+    def gen(batches):
+        q_ids, q_m, q_n = bq.value
+        nq = len(q_ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.linalg.norm(v, axis=1)
+            denom = vn[:, None] * q_n[None, :]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(denom == 0, np.nan, (v @ q_m.T) / denom)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame({
+                qid_col: np.tile(q_ids, len(ids)),
+                id_col: np.repeat(ids, nq),
+                "cos": cos.reshape(-1),
+            })
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{qid_col} long, {id_col} long, cos double"
     )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k=10, n_planes=8,

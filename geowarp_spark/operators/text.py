@@ -73,26 +73,30 @@ def quality_score(docs: DataFrame, text_col="text", id_col="doc_id",
 
 
 def lang_id(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
-    """Stopword-marker language ID: tokens joined against a broadcast
-    (lang, word) marker table; predicted lang = argmax hits with
-    deterministic tie-break (lang asc).  Returns (doc_id, pred_lang, hits).
-    Docs with zero marker hits predict 'und' (undetermined)."""
-    spark = docs.sparkSession
-    markers = spark.createDataFrame(
-        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws], ["mlang", "word"]
-    )
-    toks = docs.select(
-        F.col(id_col), F.explode(F.expr(f"split(lower({text_col}), ' +')")).alias("word")
-    )
-    hits = toks.join(F.broadcast(markers), "word").groupBy(id_col, "mlang").agg(
-        F.count(F.lit(1)).alias("hits")
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("hits").desc(), F.col("mlang").asc())
-    best = hits.withColumn("rk", F.row_number().over(w)).filter("rk = 1").select(
-        id_col, F.col("mlang").alias("pred_lang"), "hits"
-    )
-    return docs.select(id_col).join(best, id_col, "left").fillna(
-        {"pred_lang": "und", "hits": 0}
+    """Stopword-marker language ID, shuffle-free: per-lang hit counts are
+    ``size(filter(tokens, w -> w IN (...)))`` expressions evaluated row-
+    local in the scan stage (no explode, no join — the whole operator is
+    one narrow projection, so it scales linearly with no exchange).
+    Predicted lang = argmax hits with deterministic tie-break (lang asc);
+    zero hits -> 'und'.  Returns (doc_id, pred_lang, hits)."""
+    toks = f"split(lower({text_col}), ' +')"
+    langs = sorted(STOPWORDS)  # asc order = tie-break order
+    hit_cols = [
+        F.expr(
+            "size(filter({t}, w -> w IN ({ws})))".format(
+                t=toks, ws=", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            )
+        ).alias(f"h_{lang}")
+        for lang in langs
+    ]
+    d = docs.select(F.col(id_col), *hit_cols)
+    total = sum(F.col(f"h_{la}") for la in langs)
+    pred = F.when(total == 0, F.lit("und"))
+    best = F.greatest(*[F.col(f"h_{la}") for la in langs])
+    for la in langs:  # first (asc) lang achieving the max wins
+        pred = pred.when(F.col(f"h_{la}") == best, F.lit(la))
+    return d.select(
+        F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("hits")
     )
 
 

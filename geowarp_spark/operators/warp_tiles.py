@@ -159,9 +159,9 @@ def warp_tiles(tiles: DataFrame, chunks: DataFrame, *, method="near",
         c = chunks.withColumnRenamed("bbox_4326", "chunk_bbox_4326").withColumn(
             "cell", F.explode(F.expr(_cover_cells_sql("chunk_bbox_4326", bin_z)))
         )
-        joined = t.join(c, "cell").drop("cell").dropDuplicates(
-            ["raster_id", "z", "x", "y", "row_off", "col_off"]
-        )
+        # duplicates (chunk matched through several cover cells) are
+        # deduped inside the group kernel — avoids a second shuffle here
+        joined = t.join(c, "cell").drop("cell")
     else:
         cond = (
             (F.col("t.bbox_4326")[0] <= F.col("c.bbox_4326")[2])
@@ -178,6 +178,7 @@ def warp_tiles(tiles: DataFrame, chunks: DataFrame, *, method="near",
     method_name = method if isinstance(method, str) else "custom"
 
     def warp_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop_duplicates(subset=["row_off", "col_off"])
         first = pdf.iloc[0]
         z, x, y = int(first["z"]), int(first["x"]), int(first["y"])
         srs = int(first["srs"])
