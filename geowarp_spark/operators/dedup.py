@@ -99,8 +99,9 @@ def simhash(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
         F.explode(F.expr(f"split(lower({text_col}), ' +')")).alias("tok"),
     ).withColumn("th", F.xxhash64("tok"))
     # sum(+1/-1) per bit, then pack sign bits
+    one = F.lit(1).cast("bigint")
     bit_sums = toks.groupBy(id_col).agg(*[
-        F.sum(F.when((F.shiftrightunsigned(F.col("th"), i) & F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        F.sum(F.when((F.shiftrightunsigned(F.col("th"), i).bitwiseAND(one)) == one, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(64)
     ])
     packed = None
@@ -118,12 +119,13 @@ def simhash_near_dups(docs: DataFrame, text_col="text", id_col="doc_id",
     verification via bit_count(xor)."""
     sh = simhash(docs, text_col, id_col)
     bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
+    mask = F.lit((1 << band_bits) - 1).cast("bigint")
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     (F.shiftrightunsigned(F.col("simhash"), b * band_bits) & F.lit(mask)).alias("bh"))
+                     F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                     .bitwiseAND(mask).alias("bh"))
             for b in range(bands)
         ])).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.bh")

@@ -19,7 +19,8 @@ from ..sources.pages import LAT_SQL, LON_SQL
 
 def incremental_cell_counts(spark: SparkSession, pages_dir: str,
                             checkpoint_dir: str, out_dir: str,
-                            z: int = 8, window: str = "1 hour"):
+                            z: int = 8, window: str = "1 hour",
+                            watermark: str = "2 hours"):
     """Stream pages parquet -> watermarked tumbling-window per-cell counts.
 
     Returns the StreamingQuery (already started, availableNow).  The
@@ -35,7 +36,7 @@ def incremental_cell_counts(spark: SparkSession, pages_dir: str,
         .withColumn("lon", F.expr(LON_SQL))
         .withColumn("lat", F.expr(LAT_SQL))
         .withColumn("cell", F.expr(cell_sql_expr("lon", "lat", z)))
-        .withWatermark("warc_ts", "2 hours")
+        .withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("w"), F.col("cell"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("win_start"), "cell", "n")

@@ -1,0 +1,323 @@
+"""Spark-side operator tests: distributed warp parity, spatial joins,
+dedup, similarity, lineage/resume, streaming, multimodal plumbing."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ warp parity
+
+
+def test_warp_tiles_cells_equals_broadcast(spark):
+    """The scalable cell equi-join plan and the broadcast theta-join plan
+    must produce bit-identical tiles (same kernel, same inputs)."""
+    from geowarp_spark.operators.warp_tiles import warp_fixture_to_tiles
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("tiny_4326")
+    a = {(r["z"], r["x"], r["y"]): r["data"] for r in
+         warp_fixture_to_tiles(spark, fx, zooms=[10], method="near", out_size=32).collect()}
+    b = {(r["z"], r["x"], r["y"]): r["data"] for r in
+         warp_fixture_to_tiles(spark, fx, zooms=[10], method="near", out_size=32,
+                               join_strategy="broadcast").collect()}
+    assert a.keys() == b.keys() and len(a) > 0
+    assert all(a[k] == b[k] for k in a)
+
+
+def test_warp_tiles_matches_single_kernel(spark):
+    """Distributed chunked warp == one direct kernel call on the whole
+    raster (chunking+halo must not change results for near)."""
+    from geowarp_spark.grid.tiles import tile_to_bbox_3857
+    from geowarp_spark.kernels.warp import warp
+    from geowarp_spark.operators.warp_tiles import warp_fixture_to_tiles
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("tiny_4326")
+    rows = warp_fixture_to_tiles(spark, fx, zooms=[10], method="near",
+                                 out_size=32, halo=8).collect()
+    assert rows
+    for r in rows[:4]:
+        direct = warp(
+            in_data=fx["data"], in_bbox=fx["bbox"], in_srs=fx["srs"],
+            in_height=fx["height"], in_width=fx["width"],
+            out_bbox=tile_to_bbox_3857(r["x"], r["y"], r["z"]), out_srs=3857,
+            out_width=32, out_height=32, method="near", out_dtype=fx["dtype"],
+        )
+        got = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(
+            r["bands"], r["height"], r["width"])
+        np.testing.assert_array_equal(got, direct["block"])
+
+
+def test_warp_boxstats_chunk_halo(spark):
+    """median across chunk boundaries: halo duplication keeps windows
+    correct vs the unchunked kernel."""
+    from geowarp_spark.grid.tiles import tile_to_bbox_3857
+    from geowarp_spark.kernels.warp import warp
+    from geowarp_spark.operators.warp_tiles import warp_fixture_to_tiles
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgba_webmerc")  # 512x512 -> 4 chunks at 256
+    rows = warp_fixture_to_tiles(spark, fx, zooms=[8], method="median",
+                                 out_size=32, chunk=256, halo=16).collect()
+    center = [r for r in rows if r["n_chunks"] >= 2]
+    assert center, "expected tiles spanning multiple chunks"
+    r = center[0]
+    direct = warp(
+        in_data=fx["data"], in_bbox=fx["bbox"], in_srs=fx["srs"],
+        in_height=fx["height"], in_width=fx["width"],
+        out_bbox=tile_to_bbox_3857(r["x"], r["y"], r["z"]), out_srs=3857,
+        out_width=32, out_height=32, method="median", out_dtype=fx["dtype"],
+    )
+    got = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(r["bands"], 32, 32)
+    np.testing.assert_array_equal(got, direct["block"])
+
+
+# ------------------------------------------------------------ spatial
+
+
+def test_knn_cells_equals_brute(spark, sf_dir):
+    import __spark_entry__ as em
+
+    brute = {tuple(r) for r in em.q_knn(spark, sf_dir).collect()}
+    cells = {tuple(r) for r in em.q_knn_cells(spark, sf_dir).collect()}
+    assert brute == cells and len(brute) == 15
+
+
+def test_salted_counts_equal_plain(spark, sf_dir):
+    from geowarp_spark.operators.spatial import salted_cell_counts
+    import __spark_entry__ as em
+
+    pts = em._docs_pts(spark, sf_dir)
+    salted = {(r["cell"], r["n"]) for r in salted_cell_counts(pts, z=10).collect()}
+    from geowarp_spark.grid.tiles import cell_sql_expr
+    plain = {(r["cell"], r["n"]) for r in
+             pts.withColumn("cell", F.expr(cell_sql_expr("lon", "lat", 10)))
+             .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert salted == plain
+
+
+def test_pip_polygon_halfplane(spark):
+    from geowarp_spark.operators.spatial import pip_join_polygon
+
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 2.0, 2.0), (3, 0.2, 0.2)], ["pid", "lon", "lat"]
+    )
+    tri = spark.createDataFrame(
+        [(7, [0.0, 1.0, 0.0], [0.0, 0.0, 1.0])], ["poly_id", "xs", "ys"]
+    )
+    got = sorted(r["pid"] for r in pip_join_polygon(pts, tri).collect())
+    # (0.5, 0.5) lies exactly ON the hypotenuse -> cross product = 0 exact
+    # in binary floats -> inside (>= 0 inclusive); (0.2, 0.2) strictly inside
+    assert got == [1, 3]
+
+
+def test_grid_disk_and_rollup():
+    from geowarp_spark.grid.tiles import cell_parent, grid_disk, latlng_to_cell, unpack_cell
+
+    c = latlng_to_cell(np.array([40.0]), np.array([0.0]), 10)
+    z, x, y = unpack_cell(c)
+    assert z[0] == 10
+    disk = grid_disk(c, 1)
+    assert disk.shape == (1, 9) and (disk >= 0).all()
+    p = cell_parent(c, 2)
+    pz, px, py = unpack_cell(p)
+    assert pz[0] == 8 and px[0] == x[0] >> 2 and py[0] == y[0] >> 2
+
+
+# ------------------------------------------------------------ dedup
+
+
+def test_exact_dedup_finds_duplicates(spark):
+    from geowarp_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "unique text")],
+        ["doc_id", "text"],
+    )
+    rows = {r["keeper_id"]: r["n_dups"] for r in exact_dedup(docs).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from geowarp_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different content about spark distributed raster warping"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, num_hashes=32, bands=16, shingle_k=3,
+                               jaccard_threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dups(spark):
+    from geowarp_spark.operators.dedup import simhash_near_dups
+
+    base = " ".join(f"word{i}" for i in range(40))
+    near = base.replace("word7", "word7x")
+    docs = spark.createDataFrame([(1, base), (2, near)], ["doc_id", "text"])
+    rows = simhash_near_dups(docs).collect()
+    assert rows and rows[0]["hamming"] <= 8
+
+
+def test_ngram_jaccard(spark):
+    from geowarp_spark.operators.dedup import ngram_jaccard_pairs
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "alpha beta gamma delta epsilon zeta eta iota"
+    c = "nothing shared here at all whatsoever truly"
+    docs = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, n=2, threshold=0.2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.4
+    assert (1, 3) not in pairs
+
+
+def test_embedding_near_dups(spark):
+    from geowarp_spark.operators.dedup import embedding_near_dups
+
+    v = [1.0, 0.0, 0.5, 0.2]
+    v2 = [1.0, 0.01, 0.5, 0.2]
+    v3 = [-1.0, 0.5, -0.5, 0.9]
+    emb = spark.createDataFrame([(1, v), (2, v2), (3, v3)], ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(emb, threshold=0.99).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+# ------------------------------------------------------------ similarity
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    from geowarp_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    brute = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    # 2 planes + 1-bit multiprobe covers 3/4 of the space -> high recall;
+    # more planes trade recall for smaller candidate sets (scale knob)
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              lsh_topk(emb, q, k=5, n_planes=2).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # every query must still return k results
+    from collections import Counter
+    per_q = Counter(qid for qid, _ in approx)
+    assert all(v == 5 for v in per_q.values())
+
+
+# ------------------------------------------------------------ pages
+
+
+def test_extract_text_invariant():
+    from geowarp_spark.sources.pages import extract_text, make_html
+
+    texts = pd.Series(["hello", "", "with <b>tags</b> inside", "unicode éü"])
+    htmls = make_html(texts)
+    out = extract_text(htmls)
+    assert list(out) == list(texts)
+    # byte-identical: pure function of html
+    assert list(extract_text(make_html(texts))) == list(out)
+
+
+def test_pages_df_schema(spark, sf_dir):
+    from geowarp_spark.sources.pages import pages_df
+
+    p = pages_df(spark, sf_dir)
+    assert [f.name for f in p.schema.fields] == [
+        "doc_id", "url", "warc_ts", "html", "text", "lang"]
+    row = p.first()
+    assert row["html"].startswith(b"<html>")
+
+
+# ------------------------------------------------------------ lineage
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from geowarp_spark.operators.warp_tiles import warp_fixture_to_tiles
+    from geowarp_spark.plans.lineage import CheckpointStore
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("tiny_4326")
+    tiles = warp_fixture_to_tiles(spark, fx, zooms=[10], method="near", out_size=16)
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    snap = store.commit_tiles(tiles, stage="v1")
+    store.write_lineage(store.read_snapshot(snap), snap, stage="v1")
+    back = store.read_snapshot(snap)
+    assert back.count() == tiles.count()
+    lin = store.read_lineage().collect()
+    assert lin and lin[0]["tiles_emitted"] > 0
+    assert store.completed_partitions("v1")
+    # second commit -> new snapshot, latest wins
+    snap2 = store.commit_tiles(tiles, stage="v2")
+    assert store.latest_snapshot() == snap2
+
+
+# ------------------------------------------------------------ streaming
+
+
+def test_incremental_streaming(spark, sf_dir, tmp_path):
+    from geowarp_spark.sources.pages import pages_df
+    from geowarp_spark.streaming.incremental import incremental_cell_counts
+
+    pages_dir = str(tmp_path / "pages")
+    pages_df(spark, sf_dir).withColumn("doc_id", F.col("doc_id").cast("long")) \
+        .write.mode("overwrite").parquet(pages_dir)
+    # sf0.001 pages span only ~8 minutes of event time, so use a short
+    # window + watermark; append mode only flushes windows older than
+    # (max event time - watermark), so the newest window stays open
+    q = incremental_cell_counts(
+        spark, pages_dir, str(tmp_path / "ck"), str(tmp_path / "out"),
+        z=6, window="1 minute", watermark="30 seconds")
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() > 0
+    total = out.agg(F.sum("n")).collect()[0][0]
+    n_pages = spark.read.parquet(pages_dir).count()
+    assert 0 < total <= n_pages
+    # incremental restart: re-running with no new files adds nothing
+    q2 = incremental_cell_counts(
+        spark, pages_dir, str(tmp_path / "ck"), str(tmp_path / "out"),
+        z=6, window="1 minute", watermark="30 seconds")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).agg(F.sum("n")).collect()[0][0] == total
+
+
+# ------------------------------------------------------------ multimodal
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from geowarp_spark.operators.multimodal import (
+        attach_fake_media, extract_features, frame_sample)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = attach_fake_media(docs)
+    feats = extract_features(media)
+    row = feats.first()
+    assert len(row["feat"]) == 8
+    assert feats.filter("decode_ok").count() == media.count()
+    fs = frame_sample(media.limit(10))
+    assert fs.count() >= 10
+
+
+# ------------------------------------------------------------ plans
+
+
+def test_pip_pushdown_plan(spark, sf_dir):
+    """Catalyst sanity: the PIP grid filter must reach the parquet scan
+    as a pushed filter on doc_id-derived columns is impossible, but the
+    scan must prune to the referenced columns only (ReadSchema)."""
+    import __spark_entry__ as em
+
+    df = em.q_pip_grid(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    assert "n_chars" in plan and "text" not in plan.split("ReadSchema")[1][:200]
