@@ -1,0 +1,199 @@
+"""Two-cluster-size scaling benchmark (north rule: efficiency >= 0.8 from
+N to 4N executors).
+
+No real multi-executor cluster exists in this sandbox, so the criterion
+is evidenced per BASELINE.md by running the SAME job on the SAME input at
+two local parallelism levels (local[8] vs local[32]) via
+``spark-submit --py-files`` and reporting throughput at both plus the
+scaling efficiency ``(T_N / T_4N) / 4``.
+
+Two jobs:
+  join  — geotag 1M synthetic page points (documents x replication),
+          cell-encode (z12), skew-salted per-cell counts, PIP tile-grid
+          join, kNN(3 queries, cell-disk path); metric = joined rows/sec.
+  tiles — warp rgba_webmerc (512x512x4) to the z9+z10 web-mercator
+          pyramid with median box-stats at 128px; metric = tiles/sec.
+
+Determinism gate: the md5 over sorted join outputs and tile payloads is
+printed for each run — it must be identical across parallelism levels
+(join output rows + tile assignments identical, BASELINE.json).
+
+Worker mode (this file, via spark-submit):
+    spark-submit --master local[N] --py-files gw.zip bench/scaling.py worker out.json
+Orchestrator:
+    python bench/scaling.py orchestrate
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REPLICATION = 1000  # documents x1000 -> ~5M points at sf0.1
+
+
+def _job_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.grid.tiles import cell_sql_expr
+    from geowarp_spark.operators.spatial import knn_join_cells, salted_cell_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    pts = docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(REPLICATION - 1)))) \
+        .withColumn("doc_id", F.col("doc_id") * REPLICATION + F.col("rep")).drop("rep")
+    lon = ("CASE WHEN doc_id % 10 < 7 THEN ((doc_id * 7919) % 20000) / 1000.0 - 10.0 "
+           "ELSE ((doc_id * 9301 + 49297) % 360000) / 1000.0 - 180.0 END")
+    lat = ("CASE WHEN doc_id % 10 < 7 THEN ((doc_id * 104729) % 20000) / 1000.0 + 30.0 "
+           "ELSE ((doc_id * 1299709 + 7) % 180000) / 1000.0 - 90.0 END")
+    pts = pts.withColumn("lon", F.expr(lon)).withColumn("lat", F.expr(lat))
+    n_points = pts.count()
+
+    t0 = time.time()
+    # 1. skew-salted per-cell counts (dense cluster cells are hot keys)
+    counts = salted_cell_counts(pts, z=12).cache()
+    n_cells = counts.count()
+    # 2. PIP tile-grid join over the cluster box
+    pip = pts.filter(
+        (F.col("lon") >= -10) & (F.col("lon") < 10)
+        & (F.col("lat") >= 30) & (F.col("lat") < 50)
+    ).select(
+        (F.floor((F.col("lon") + 10.0) / 5.0)).cast("long").alias("tx"),
+        (F.floor((F.col("lat") - 30.0) / 5.0)).cast("long").alias("ty"),
+        "doc_id", "n_chars",
+    )
+    pip_agg = pip.groupBy("tx", "ty").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+    pip_rows = pip_agg.collect()
+    n_joined = sum(r["n"] for r in pip_rows)
+    # 3. kNN via cell-disk candidates
+    qdf = spark.sql(
+        "SELECT 1 AS query_id, 0.0 AS qlon, 40.0 AS qlat "
+        "UNION ALL SELECT 2, -5.0, 35.0 UNION ALL SELECT 3, 120.0, -45.0")
+    knn = knn_join_cells(pts, qdf, k=10, z=4, ring=2).collect()
+    wall = time.time() - t0
+
+    sig = hashlib.md5()
+    for r in sorted((r["tx"], r["ty"], r["n"], r["chars"]) for r in pip_rows):
+        sig.update(str(r).encode())
+    for r in sorted((r["query_id"], r["doc_id"], r["rank"]) for r in knn):
+        sig.update(str(r).encode())
+    # order-insensitive distributed hash of the per-cell counts (keeps the
+    # determinism gate off the driver's critical path)
+    cell_sig = counts.select(
+        F.expr("bit_xor(xxhash64(concat_ws(':', cell, n)))").alias("s")
+    ).collect()[0]["s"]
+    sig.update(str(cell_sig).encode())
+    counts.unpersist()
+    return {
+        "n_points": n_points, "n_cells": n_cells, "n_joined_rows": n_joined,
+        "wall_sec": round(wall, 3),
+        "joined_rows_per_sec": round(n_joined / wall, 1),
+        "points_per_sec": round(n_points / wall, 1),
+        "output_md5": sig.hexdigest(),
+    }
+
+
+def _job_tiles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.operators.warp_tiles import warp_fixture_to_tiles
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgba_webmerc")
+    t0 = time.time()
+    out = warp_fixture_to_tiles(spark, fx, zooms=[9, 10, 11], method="median",
+                                out_size=128)
+    # hash the tile payloads executor-side; only (key, md5) reaches the driver
+    hashed = out.select("z", "x", "y", F.md5("data").alias("h")).collect()
+    wall = time.time() - t0
+    sig = hashlib.md5()
+    for z, x, y, hh in sorted((r["z"], r["x"], r["y"], r["h"]) for r in hashed):
+        sig.update(f"{z}/{x}/{y}:{hh}".encode())
+    return {
+        "n_tiles": len(hashed), "wall_sec": round(wall, 3),
+        "tiles_per_sec": round(len(hashed) / wall, 1),
+        "output_md5": sig.hexdigest(),
+    }
+
+
+def worker(out_path):
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    master = spark.sparkContext.master
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # warm-up: JIT + Arrow init, discarded
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    res = {"master": master, "sf_dir": sf_dir,
+           "join": _job_join(spark, sf_dir),
+           "tiles": _job_tiles(spark, sf_dir)}
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=2)
+    spark.stop()
+
+
+def orchestrate():
+    import zipfile
+
+    zpath = "/tmp/geowarp_spark.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "geowarp_spark")
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+
+    results = {}
+    for n, master in (("N=8", "local[8]"), ("4N=32", "local[32]")):
+        out = f"/tmp/scale_{master.replace('[', '_').replace(']', '')}.json"
+        cores = 8 if n == "N=8" else 32
+        cmd = [
+            "spark-submit", "--master", master,
+            # 3x cores: load-balances the skewed per-group warp costs
+            "--conf", f"spark.sql.shuffle.partitions={3 * cores}",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+            "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+            "--conf", "spark.driver.memory=16g",
+            "--py-files", zpath,
+            os.path.abspath(__file__), "worker", out,
+        ]
+        print("running", " ".join(cmd), flush=True)
+        env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+                   MKL_NUM_THREADS="1")
+        subprocess.run(cmd, check=True, cwd=REPO, env=env,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        with open(out) as f:
+            results[n] = json.load(f)
+
+    j8, j32 = results["N=8"]["join"], results["4N=32"]["join"]
+    t8, t32 = results["N=8"]["tiles"], results["4N=32"]["tiles"]
+    summary = {
+        "join_rows_per_sec": {"N": j8["joined_rows_per_sec"], "4N": j32["joined_rows_per_sec"]},
+        "tiles_per_sec": {"N": t8["tiles_per_sec"], "4N": t32["tiles_per_sec"]},
+        "join_scaling_efficiency": round(j8["wall_sec"] / j32["wall_sec"] / 4.0, 3),
+        "tiles_scaling_efficiency": round(t8["wall_sec"] / t32["wall_sec"] / 4.0, 3),
+        "join_outputs_identical": j8["output_md5"] == j32["output_md5"],
+        "tile_outputs_identical": t8["output_md5"] == t32["output_md5"],
+    }
+    results["summary"] = summary
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_r1.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "worker":
+        worker(sys.argv[2])
+    else:
+        orchestrate()

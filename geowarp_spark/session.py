@@ -16,17 +16,32 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "geowarp-spark", master: str | None = None,
               shuffle_partitions: int | None = None, extra_conf: dict | None = None) -> SparkSession:
+    # set in the driver env too: in local mode python workers fork from
+    # the driver-launched JVM and inherit this environment
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
+        # 3x cores: grouped-UDF stages (applyInPandas warps) have skewed
+        # per-group cost (z9 tiles cost ~4x z10), so over-partitioning
+        # lets the scheduler load-balance the tail — measured 3.5x faster
+        # than partitions == cores at local[32]
         try:
-            shuffle_partitions = max(8, int(cpus))
+            n = int(master.split("[")[1].rstrip("]")) if "[" in master else int(cpus)
         except ValueError:
-            shuffle_partitions = 32
+            n = 32
+        shuffle_partitions = max(8, 3 * n)
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # one BLAS/OMP thread per python worker: N workers x M-thread
+        # OpenBLAS pools thrash the CPU (measured 2.5x slowdown at
+        # local[32]); parallelism comes from Spark tasks, not BLAS
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -61,8 +61,8 @@ def build_fixture(raster_id):
         h, w = 300, 400
         data = _blocky(rng, h, w, block=25, levels=(100, 900, 3000, 9000))[None].astype(np.uint16)
         gt = [170000.0, 1.5, 0.4, 8100000.0, 0.3, -1.2]  # nonzero skew terms
-        return _fx(raster_id, 32760, None, data, no_data=0, geotransform=gt,
-                   bbox=_gt_bbox(gt, w, h))
+        return _fx(raster_id, 32760, _gt_bbox(gt, w, h), data, no_data=0,
+                   geotransform=gt)
     if raster_id == "nan_polar":
         h = w = 256
         data = rng.random((1, h, w)).astype(np.float32) * 100.0
