@@ -58,25 +58,43 @@ def pip_join_polygon(points: DataFrame, polys: DataFrame, lon="lon", lat="lat") 
     return points.join(F.broadcast(polys), pre & inside)
 
 
+def _topk_two_phase(cand: DataFrame, k: int, query_id: str, point_id: str) -> DataFrame:
+    """Scalable top-k per query: partition-local top-k (sort_array over a
+    per-partition collect_list, k elements max survive per partition),
+    then a final rank window over only (num_partitions x k) rows per
+    query.  A single rank window would shuffle EVERY candidate into one
+    partition per query — measured as the serial bottleneck at 5M+
+    candidates.  Struct ordering (dist2, point_id) = the deterministic
+    tie-break, preserved in both phases."""
+    part = cand.withColumn("_pid", F.spark_partition_id())
+    partial = part.groupBy(query_id, "_pid").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct(F.col("dist2"), F.col(point_id)))),
+            1, k,
+        ).alias("top")
+    )
+    ex = partial.select(query_id, F.explode("top").alias("t")).select(
+        query_id,
+        F.col(f"t.{point_id}").alias(point_id),
+        F.col("t.dist2").alias("dist2"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(point_id).asc())
+    return ex.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
              lon="lon", lat="lat", qlon="qlon", qlat="qlat",
              point_id="doc_id", query_id="query_id") -> DataFrame:
     """kNN join (J5): for each query point, the k nearest data points by
     squared euclidean degree distance; deterministic tie-break on
-    (dist, point_id).  Queries are broadcast (small side); rank is a
-    window over the shuffled (query_id) partitions — one shuffle total.
-    """
+    (dist, point_id).  Queries are broadcast (small side); ranking is
+    the two-phase top-k (no full-candidate shuffle)."""
     d2 = (
         (F.col(lon) - F.col(qlon)) * (F.col(lon) - F.col(qlon))
         + (F.col(lat) - F.col(qlat)) * (F.col(lat) - F.col(qlat))
     ).alias("dist2")
-    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(point_id).asc())
-    return (
-        points.crossJoin(F.broadcast(queries))
-        .select(query_id, point_id, d2)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    cand = points.crossJoin(F.broadcast(queries)).select(query_id, point_id, d2)
+    return _topk_two_phase(cand, k, query_id, point_id)
 
 
 def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
@@ -105,14 +123,10 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
         (F.col(lon) - F.col(qlon)) * (F.col(lon) - F.col(qlon))
         + (F.col(lat) - F.col(qlat)) * (F.col(lat) - F.col(qlat))
     ).alias("dist2")
-    w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(point_id).asc())
-    return (
-        pts.join(q, "cell")
-        .select(query_id, point_id, d2)
-        .dropDuplicates([query_id, point_id])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    # no dedup needed: a point lives in exactly one cell and the disk
+    # cells are array_distinct, so each (query, point) matches at most once
+    cand = pts.join(F.broadcast(q), "cell").select(query_id, point_id, d2)
+    return _topk_two_phase(cand, k, query_id, point_id)
 
 
 def cell_rollup(points: DataFrame, z_levels, lon="lon", lat="lat",
