@@ -20,7 +20,6 @@ _RENAMES = {
 _IGNORED = {
     # reference-only knobs with no analog in the numpy/Spark engine
     "debug_level",      # logging verbosity (geowarp.js:114)
-    "cache_process",    # perf memoization, no semantic effect (geowarp.js:161)
     "insert_pixel",     # pluggable sink — use the Spark writer instead (S6)
     "insert_sample",
     "out_data",         # caller-allocated output buffer

@@ -128,6 +128,30 @@ def _reduce_mode(values, valid, method):
     return out
 
 
+def quick_histogram(block, grid=(10, 10)):
+    """Sampled pixel histogram (A11, quickHistogram geowarp.js:97-111):
+    evenly spaced sample points estimate the value distribution without a
+    full pass.  Returns (pixel_tuples, counts) sorted by count desc.
+    Used to predict the process-cache hit rate (R5, geowarp.js:437-450).
+    """
+    block = np.asarray(block)
+    b, h, w = block.shape
+    across, down = grid
+    rows = (np.arange(down) * (h / down)).astype(np.int64)
+    cols = (np.arange(across) * (w / across)).astype(np.int64)
+    sample = block[:, rows][:, :, cols].reshape(b, -1)
+    px, counts = np.unique(sample.T, axis=0, return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    return px[order], counts[order]
+
+
+def predicted_cache_hit_rate(block, grid=(10, 10)):
+    """hits/total with 1 miss per distinct pixel (geowarp.js:438-446)."""
+    _, counts = quick_histogram(block, grid)
+    total = counts.sum()
+    return float((counts - 1).sum() / total) if total else 0.0
+
+
 def js_round(x):
     """JS Math.round = half-toward-+inf (floor(x+0.5)), NOT banker's
     rounding (geowarp.js:257,271,279; SURVEY F10).  NaN passes through."""

@@ -103,6 +103,7 @@ def warp(
     turbo=False,
     insert_null_strategy="skip",
     skip_no_data_strategy=None,
+    cache_process=None,
 ):
     # ------------------------------------------------ 1. validate/normalize
     if out_height is None or out_width is None or np.isnan(out_height) or np.isnan(out_width):
@@ -240,9 +241,19 @@ def warp(
     # ------------------------------------------------ 3. process pipeline
     rb_idx = np.asarray(read_bands, dtype=np.int64)
     if expr is not None:
+        # R5 (geowarp.js:437-450): memoize expr over distinct pixels when
+        # the sampled histogram predicts a high cache-hit rate
+        if cache_process is None:
+            from .stats import predicted_cache_hit_rate
+
+            cache_process = predicted_cache_hit_rate(fblock[rb_idx]) >= 0.85
 
         def process(vals):  # vals: (B_read, N) -> (B_out, N)
-            px = np.asarray(expr(vals), dtype=np.float64)
+            if cache_process and vals.shape[1] > 256:
+                uniq, inv = np.unique(vals.T, axis=0, return_inverse=True)
+                px = np.asarray(expr(uniq.T), dtype=np.float64)[:, inv]
+            else:
+                px = np.asarray(expr(vals), dtype=np.float64)
             if round_values:
                 px = js_round(px)
             return px
