@@ -482,6 +482,27 @@ def q_extract_invariant(spark, sf_dir):  # pages: byte-identical text per url
     )
 
 
+def q_rasterize_grid(spark, sf_dir):  # raster<->vector: per-tile-pixel counts
+    from geowarp_spark.operators.pages_pipeline import pixel_counts
+
+    pts = _docs_pts(spark, sf_dir)
+    return pixel_counts(pts, z=6, px_bits=6).select(
+        "cell", F.col("px").cast("int").alias("px"),
+        F.col("py").cast("int").alias("py"), "n"
+    )
+
+
+_RASTERIZE_ORACLE = f"""
+    WITH pts AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents),
+    cells AS (SELECT {{fine}} AS fine, {{coarse}} AS cell FROM pts)
+    SELECT cell,
+           CAST(((fine >> 29) & 536870911) - ((cell >> 29) & 536870911) * 64 AS INT) AS px,
+           CAST((fine & 536870911) - (cell & 536870911) * 64 AS INT) AS py,
+           count(*) AS n
+    FROM cells GROUP BY 1, 2, 3
+"""
+
+
 # ----------------------------------------------------- rows-only entries
 
 
@@ -539,20 +560,15 @@ def q_salted_cells(spark, sf_dir):  # skew-safe two-stage agg == plain agg
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: geotag pages -> cell encode -> PIP tile join -> per-tile
-    rollup with quality stats (the north-star pipeline at sf0.001)."""
+    """Flagship: geotag pages -> cell encode -> rasterize page density
+    into the tile pyramid's pixel grids (the north-star raster<->vector
+    pipeline at sf0.001); returns the per-(tile, pixel) count table."""
+    from geowarp_spark.operators.pages_pipeline import pixel_counts
+
     sf_dir = "/root/testdata/sf0.001"
     pts = _docs_pts(spark, sf_dir)
-    cell = _cell_sql("lon", "lat", 8)
-    enriched = pts.withColumn("cell", F.expr(cell))
-    return (
-        enriched.groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_pages"),
-            F.sum("n_chars").alias("chars"),
-            F.round(F.sum("n_chars") / F.count(F.lit(1)), 2).alias("mean_chars"),
-        )
-        .orderBy(F.col("n_pages").desc(), F.col("cell").asc())
+    return pixel_counts(pts, z=6, px_bits=6).orderBy(
+        F.col("n").desc(), F.col("cell").asc(), F.col("px").asc(), F.col("py").asc()
     )
 
 
@@ -589,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "extract_invariant": q_extract_invariant,
         "salted_cells": q_salted_cells,
+        "rasterize_grid": q_rasterize_grid,
         # rows-only (no SQL oracle): numpy warp kernels / Arrow pipelines
         "warp_tiles": q_warp_tiles,
         "warp_boxstats": q_warp_boxstats,
@@ -811,4 +828,7 @@ def oracle_sql() -> dict[str, str]:
             WITH pts AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents)
             SELECT {cell12} AS cell, count(*) AS n FROM pts GROUP BY 1
         """,
+        "rasterize_grid": _RASTERIZE_ORACLE.format(
+            fine=_cell_sql("lon", "lat", 12), coarse=_cell_sql("lon", "lat", 6)
+        ),
     }

@@ -123,18 +123,20 @@ def _job_tiles(spark, sf_dir):
     }
 
 
-def worker(out_path):
+def worker(job, out_path):
+    """One job per JVM: isolates GC/daemon-worker state between the join
+    and tiles measurements (sequential jobs in one JVM showed 2x wall
+    variance on the second job)."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     master = spark.sparkContext.master
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # warm-up: JIT + Arrow init, discarded
+    # warm-up: JIT + Arrow + python-worker pool init, discarded
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    res = {"master": master, "sf_dir": sf_dir,
-           "join": _job_join(spark, sf_dir),
-           "tiles": _job_tiles(spark, sf_dir)}
+    fn = _job_join if job == "join" else _job_tiles
+    res = {"master": master, "sf_dir": sf_dir, "job": job, "result": fn(spark, sf_dir)}
     with open(out_path, "w") as f:
         json.dump(res, f, indent=2)
     spark.stop()
@@ -152,31 +154,41 @@ def orchestrate():
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
 
-    results = {}
-    for n, master in (("N=8", "local[8]"), ("4N=32", "local[32]")):
-        out = f"/tmp/scale_{master.replace('[', '_').replace(']', '')}.json"
-        cores = 8 if n == "N=8" else 32
-        cmd = [
-            "spark-submit", "--master", master,
-            # 3x cores: load-balances the skewed per-group warp costs
-            "--conf", f"spark.sql.shuffle.partitions={3 * cores}",
-            "--conf", "spark.sql.adaptive.enabled=true",
-            "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
-            "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
-            "--conf", "spark.driver.memory=16g",
-            "--py-files", zpath,
-            os.path.abspath(__file__), "worker", out,
-        ]
-        print("running", " ".join(cmd), flush=True)
-        env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
-                   MKL_NUM_THREADS="1")
-        subprocess.run(cmd, check=True, cwd=REPO, env=env,
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        with open(out) as f:
-            results[n] = json.load(f)
+    trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
+    results = {"trials": {}}
+    for n, master, cores in (("N=8", "local[8]", 8), ("4N=32", "local[32]", 32)):
+        for job in ("join", "tiles"):
+            runs = []
+            for t in range(trials):
+                out = f"/tmp/scale_{job}_{cores}_{t}.json"
+                cmd = [
+                    "spark-submit", "--master", master,
+                    # 3x cores: load-balances the skewed per-group warp costs
+                    "--conf", f"spark.sql.shuffle.partitions={3 * cores}",
+                    "--conf", "spark.sql.adaptive.enabled=true",
+                    "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+                    "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+                    "--conf", "spark.driver.memory=16g",
+                    "--py-files", zpath,
+                    os.path.abspath(__file__), "worker", job, out,
+                ]
+                print(f"running {job} {master} trial {t}", flush=True)
+                subprocess.run(cmd, check=True, cwd=REPO, env=env,
+                               stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                with open(out) as f:
+                    runs.append(json.load(f)["result"])
+            hashes = {r["output_md5"] for r in runs}
+            assert len(hashes) == 1, f"nondeterministic output for {job}@{master}"
+            med = sorted(runs, key=lambda r: r["wall_sec"])[trials // 2]
+            med["all_wall_sec"] = [r["wall_sec"] for r in runs]
+            results["trials"][f"{job}@{n}"] = med
+            print(f"  -> median {med['wall_sec']}s of {med['all_wall_sec']}", flush=True)
 
-    j8, j32 = results["N=8"]["join"], results["4N=32"]["join"]
-    t8, t32 = results["N=8"]["tiles"], results["4N=32"]["tiles"]
+    tr = results["trials"]
+    j8, j32 = tr["join@N=8"], tr["join@4N=32"]
+    t8, t32 = tr["tiles@N=8"], tr["tiles@4N=32"]
     summary = {
         "join_rows_per_sec": {"N": j8["joined_rows_per_sec"], "4N": j32["joined_rows_per_sec"]},
         "tiles_per_sec": {"N": t8["tiles_per_sec"], "4N": t32["tiles_per_sec"]},
@@ -184,6 +196,7 @@ def orchestrate():
         "tiles_scaling_efficiency": round(t8["wall_sec"] / t32["wall_sec"] / 4.0, 3),
         "join_outputs_identical": j8["output_md5"] == j32["output_md5"],
         "tile_outputs_identical": t8["output_md5"] == t32["output_md5"],
+        "trials": trials,
     }
     results["summary"] = summary
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -194,6 +207,6 @@ def orchestrate():
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
-        worker(sys.argv[2])
+        worker(sys.argv[2], sys.argv[3])
     else:
         orchestrate()

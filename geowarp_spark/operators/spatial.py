@@ -145,11 +145,12 @@ def cell_rollup(points: DataFrame, z_levels, lon="lon", lat="lat",
     levels = [base]
     prev = base
     prev_z = z0
+    mask = F.lit((1 << 29) - 1).cast("bigint")
     for z in sorted([z for z in z_levels if z != z0], reverse=True):
         d = prev_z - z
         # unpack, shift, repack with pure integer ops
-        x = ((F.col("cell") >> 29) & F.lit((1 << 29) - 1)) >> d
-        y = (F.col("cell") & F.lit((1 << 29) - 1)) >> d
+        x = F.shiftright(F.shiftright(F.col("cell"), 29).bitwiseAND(mask), d)
+        y = F.shiftright(F.col("cell").bitwiseAND(mask), d)
         pcell = (F.lit(z).cast("bigint") * F.lit(1 << 58).cast("bigint")) + (x * F.lit(1 << 29)) + y
         rolled_aggs = [F.sum("n").alias("n")]
         if value_col:
