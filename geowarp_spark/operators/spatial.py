@@ -59,27 +59,45 @@ def pip_join_polygon(points: DataFrame, polys: DataFrame, lon="lon", lat="lat") 
 
 
 def _topk_two_phase(cand: DataFrame, k: int, query_id: str, point_id: str) -> DataFrame:
-    """Scalable top-k per query: partition-local top-k (sort_array over a
-    per-partition collect_list, k elements max survive per partition),
-    then a final rank window over only (num_partitions x k) rows per
-    query.  A single rank window would shuffle EVERY candidate into one
-    partition per query — measured as the serial bottleneck at 5M+
-    candidates.  Struct ordering (dist2, point_id) = the deterministic
-    tie-break, preserved in both phases."""
-    part = cand.withColumn("_pid", F.spark_partition_id())
-    partial = part.groupBy(query_id, "_pid").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct(F.col("dist2"), F.col(point_id)))),
-            1, k,
-        ).alias("top")
-    )
-    ex = partial.select(query_id, F.explode("top").alias("t")).select(
-        query_id,
-        F.col(f"t.{point_id}").alias(point_id),
-        F.col("t.dist2").alias("dist2"),
-    )
+    """Scalable top-k per query, memory-bounded.
+
+    Phase 1 (no shuffle): Tungsten external sort within each existing
+    partition on (query, dist2, id), then an Arrow mapInPandas pass that
+    keeps only the first k rows per query per partition — vectorized
+    cumcount, O(queries x k) state, streams batches.  Phase 2: a rank
+    window over only (partitions x k) survivors per query.
+
+    Why not a single rank window: it shuffles EVERY candidate into one
+    partition per query (serial sort of millions of rows).  Why not
+    collect_list + slice: it materializes every candidate of a partition
+    in one aggregation buffer (measured GC storms / 5x wall variance at
+    5M candidates).  Sorting spills; state never grows with candidates.
+    """
+    import pandas as pd
+
+    cand = cand.select(query_id, point_id, "dist2")
+    qt = dict(cand.dtypes)[query_id]
+    pt = dict(cand.dtypes)[point_id]
+    out_schema = f"{query_id} {qt}, {point_id} {pt}, dist2 double"
+    sorted_parts = cand.sortWithinPartitions(query_id, "dist2", point_id)
+
+    def topk_gen(batches):
+        seen: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = pdf[query_id].map(seen).fillna(0).to_numpy()
+            within = pdf.groupby(query_id, sort=False).cumcount().to_numpy()
+            rank = base + within
+            for q, cnt in pdf.groupby(query_id, sort=False).size().items():
+                seen[q] = seen.get(q, 0) + int(cnt)
+            keep = rank < k
+            if keep.any():
+                yield pdf.loc[keep]
+
+    partial = sorted_parts.mapInPandas(topk_gen, schema=out_schema)
     w = Window.partitionBy(query_id).orderBy(F.col("dist2").asc(), F.col(point_id).asc())
-    return ex.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def knn_join(points: DataFrame, queries: DataFrame, k: int,
