@@ -46,7 +46,14 @@ def _job_join(spark, sf_dir):
     from geowarp_spark.operators.spatial import knn_join_cells, salted_cell_counts
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
-    pts = docs.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(REPLICATION - 1)))) \
+    # documents.parquet is a single file -> a single input partition; the
+    # x1000 explode would otherwise keep ALL 5M rows in one task and the
+    # whole first stage (geotag + cell encode + partial agg + sort) runs
+    # serial regardless of cores.  A real pages table is many files; the
+    # repartition stands in for that.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pts = docs.repartition(nparts) \
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(REPLICATION - 1)))) \
         .withColumn("doc_id", F.col("doc_id") * REPLICATION + F.col("rep")).drop("rep")
     lon = ("CASE WHEN doc_id % 10 < 7 THEN ((doc_id * 7919) % 20000) / 1000.0 - 10.0 "
            "ELSE ((doc_id * 9301 + 49297) % 360000) / 1000.0 - 180.0 END")
@@ -108,8 +115,10 @@ def _job_tiles(spark, sf_dir):
 
     fx = build_fixture("rgba_webmerc")
     t0 = time.time()
+    # broadcast_map: the 1 MB source is shipped once per executor, tiles
+    # stream through mapInPandas — no per-tile payload duplication
     out = warp_fixture_to_tiles(spark, fx, zooms=[9, 10, 11], method="median",
-                                out_size=128)
+                                out_size=128, join_strategy="broadcast_map")
     # hash the tile payloads executor-side; only (key, md5) reaches the driver
     hashed = out.select("z", "x", "y", F.md5("data").alias("h")).collect()
     wall = time.time() - t0
@@ -155,11 +164,16 @@ def orchestrate():
                     z.write(full, os.path.relpath(full, REPO))
 
     trials = int(os.environ.get("SCALING_TRIALS", "3"))
+    jobs = os.environ.get("SCALING_JOBS", "join,tiles").split(",")
     env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                MKL_NUM_THREADS="1")
     results = {"trials": {}}
+    prior = os.path.join(REPO, "BENCH", "scaling_r1.json")
+    if os.path.exists(prior):  # reuse prior medians for jobs not rerun
+        with open(prior) as f:
+            results["trials"].update(json.load(f).get("trials", {}))
     for n, master, cores in (("N=8", "local[8]", 8), ("4N=32", "local[32]", 32)):
-        for job in ("join", "tiles"):
+        for job in jobs:
             runs = []
             for t in range(trials):
                 out = f"/tmp/scale_{job}_{cores}_{t}.json"

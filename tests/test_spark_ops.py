@@ -12,20 +12,24 @@ from pyspark.sql import functions as F
 # ------------------------------------------------------------ warp parity
 
 
-def test_warp_tiles_cells_equals_broadcast(spark):
-    """The scalable cell equi-join plan and the broadcast theta-join plan
+def test_warp_tiles_all_strategies_identical(spark):
+    """The cell equi-join, broadcast theta-join, and broadcast-map plans
     must produce bit-identical tiles (same kernel, same inputs)."""
     from geowarp_spark.operators.warp_tiles import warp_fixture_to_tiles
     from geowarp_spark.sources.fixtures import build_fixture
 
     fx = build_fixture("tiny_4326")
-    a = {(r["z"], r["x"], r["y"]): r["data"] for r in
-         warp_fixture_to_tiles(spark, fx, zooms=[10], method="near", out_size=32).collect()}
-    b = {(r["z"], r["x"], r["y"]): r["data"] for r in
-         warp_fixture_to_tiles(spark, fx, zooms=[10], method="near", out_size=32,
-                               join_strategy="broadcast").collect()}
-    assert a.keys() == b.keys() and len(a) > 0
-    assert all(a[k] == b[k] for k in a)
+    outs = {}
+    for strat in ("cells", "broadcast", "broadcast_map"):
+        outs[strat] = {(r["z"], r["x"], r["y"]): r["data"] for r in
+                       warp_fixture_to_tiles(spark, fx, zooms=[10], method="near",
+                                             out_size=32, join_strategy=strat).collect()}
+    a = outs["cells"]
+    assert len(a) > 0
+    for strat in ("broadcast", "broadcast_map"):
+        b = outs[strat]
+        assert a.keys() == b.keys(), strat
+        assert all(a[k] == b[k] for k in a), strat
 
 
 def test_warp_tiles_matches_single_kernel(spark):
