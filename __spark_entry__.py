@@ -511,7 +511,8 @@ def q_warp_tiles(spark, sf_dir):  # the raster engine itself (numpy kernels)
     from geowarp_spark.sources.fixtures import build_fixture
 
     fx = build_fixture("rgb_smallscale")
-    out = warp_fixture_to_tiles(spark, fx, zooms=[9, 10], method="near", out_size=128)
+    out = warp_fixture_to_tiles(spark, fx, zooms=[9, 10], method="near", out_size=128,
+                                join_strategy="broadcast_map")
     return out.select("z", "x", "y", "method", "bands", "valid_px", "n_chunks")
 
 
@@ -520,7 +521,8 @@ def q_warp_boxstats(spark, sf_dir):  # box-stat resampling on tiles
     from geowarp_spark.sources.fixtures import build_fixture
 
     fx = build_fixture("rgba_webmerc")
-    out = warp_fixture_to_tiles(spark, fx, zooms=[8, 9], method="median", out_size=64)
+    out = warp_fixture_to_tiles(spark, fx, zooms=[8, 9], method="median", out_size=64,
+                                join_strategy="broadcast_map")
     return out.select("z", "x", "y", "method", "bands", "valid_px", "n_chunks")
 
 
