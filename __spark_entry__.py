@@ -217,9 +217,14 @@ def q_pip_triangle(spark, sf_dir):  # J1 exact: half-plane sign tests
 
 
 def _knn_queries(spark):
+    # query 4 sits in a sparse polar region: its z4/ring2 cell disk holds
+    # fewer than k near points, so knn_join_cells must ring-widen to stay
+    # exact (the oracle is the brute-force rank — any silent under-fill
+    # or non-nearest result hash-mismatches)
     return spark.sql(
         "SELECT 1 AS query_id, 0.0 AS qlon, 40.0 AS qlat "
-        "UNION ALL SELECT 2, -5.0, 35.0 UNION ALL SELECT 3, 120.0, -45.0"
+        "UNION ALL SELECT 2, -5.0, 35.0 UNION ALL SELECT 3, 120.0, -45.0 "
+        "UNION ALL SELECT 4, -150.0, -80.0"
     )
 
 
@@ -250,7 +255,8 @@ def q_knn_cells(spark, sf_dir):  # J5 scale path: cell-disk candidates == brute
 _KNN_ORACLE = f"""
     WITH pts AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents),
     q AS (SELECT 1 AS query_id, 0.0 AS qlon, 40.0 AS qlat
-          UNION ALL SELECT 2, -5.0, 35.0 UNION ALL SELECT 3, 120.0, -45.0),
+          UNION ALL SELECT 2, -5.0, 35.0 UNION ALL SELECT 3, 120.0, -45.0
+          UNION ALL SELECT 4, -150.0, -80.0),
     d AS (SELECT query_id, doc_id,
                  (lon - qlon) * (lon - qlon) + (lat - qlat) * (lat - qlat) AS dist2
           FROM pts CROSS JOIN q)
@@ -538,7 +544,9 @@ def q_multimodal(spark, sf_dir):  # multimodal plumbing (stubbed decode)
     )
 
 
-def q_similarity_lsh(spark, sf_dir):  # ANN scale path (approximate — rows-only)
+def q_similarity_lsh(spark, sf_dir):  # ANN scale path — deterministic LSH,
+    # so the full plan (buckets, multiprobe, starved-query fallback, exact
+    # re-rank) is replayed by the DuckDB oracle
     from geowarp_spark.operators.similarity import lsh_topk
 
     _views(spark, sf_dir)
@@ -546,9 +554,58 @@ def q_similarity_lsh(spark, sf_dir):  # ANN scale path (approximate — rows-onl
     q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return lsh_topk(emb, q, k=10, n_planes=8).select(
-        "query_id", "vec_id", F.col("rank").cast("long").alias("rnk")
+    return lsh_topk(emb, q, k=10, n_planes=8, guarantee_k=True).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rnk"),
     )
+
+
+def _lsh_bucket_duck(vcol: str, n_planes: int) -> str:
+    """DuckDB replica of similarity.lsh_bucket_expr: sign-bit bucket from
+    the deterministic integer hyperplanes plane[p][i] = ((p*31+i*17)%7)-3."""
+    terms = []
+    for p in range(n_planes):
+        dot = (f"list_sum(list_transform(range(1, len({vcol}) + 1), "
+               f"i -> {vcol}[i] * ((({p} * 31 + (i - 1) * 17) % 7) - 3)))")
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_oracle_sql(k=10, n_planes=8) -> str:
+    bucket = _lsh_bucket_duck("v", n_planes)
+    flips = "".join(f", xor(qbucket, {1 << p})" for p in range(n_planes))
+    cos = ("list_dot_product(v, qv) / nullif(sqrt(list_dot_product(v, v)) * "
+           "sqrt(list_dot_product(qv, qv)), 0.0)")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        eb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+              FROM eb WHERE vec_id IN (0, 1, 2)),
+        probes AS (SELECT query_id, qv, unnest([qbucket{flips}]) AS bucket FROM q),
+        cand AS (SELECT DISTINCT query_id, e2.vec_id, qv, v
+                 FROM eb e2 JOIN probes p ON e2.bucket = p.bucket),
+        candf AS (SELECT query_id, vec_id, {cos} AS cos FROM cand
+                  WHERE {cos} IS NOT NULL AND NOT isnan({cos})),
+        counts AS (SELECT query_id, count(*) AS nc FROM candf GROUP BY 1),
+        starved AS (SELECT q.query_id, q.qv FROM q
+                    LEFT JOIN counts USING (query_id)
+                    WHERE coalesce(nc, 0) < {k}),
+        brute AS (SELECT s.query_id, e.vec_id, {cos} AS cos
+                  FROM e CROSS JOIN starved s
+                  WHERE {cos} IS NOT NULL AND NOT isnan({cos})),
+        allc AS (SELECT query_id, vec_id, cos FROM candf
+                 WHERE query_id NOT IN (SELECT query_id FROM starved)
+                 UNION ALL SELECT query_id, vec_id, cos FROM brute)
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(rn AS BIGINT) AS rnk
+        FROM (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM allc) t
+        WHERE rn <= {k}
+    """
 
 
 def q_salted_cells(spark, sf_dir):  # skew-safe two-stage agg == plain agg
@@ -833,4 +890,5 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_grid": _RASTERIZE_ORACLE.format(
             fine=_cell_sql("lon", "lat", 12), coarse=_cell_sql("lon", "lat", 6)
         ),
+        "similarity_lsh": _lsh_oracle_sql(k=10, n_planes=8),
     }

@@ -14,18 +14,12 @@ from .kernels.warp import warp as _warp
 
 _RENAMES = {
     "round": "round_values",
-    "out_array_types": "out_dtype",
 }
 
 _IGNORED = {
     # reference-only knobs with no analog in the numpy/Spark engine
     "debug_level",      # logging verbosity (geowarp.js:114)
-    "insert_pixel",     # pluggable sink — use the Spark writer instead (S6)
-    "insert_sample",
     "out_data",         # caller-allocated output buffer
-    "cutline_bbox",     # perf hint for turbo cutline reprojection
-    "reproject",        # deprecated alias of inverse (geowarp.js:187)
-    "insert",           # deprecated alias of insert_pixel (geowarp.js:190)
 }
 
 _TYPED_ARRAY_TO_DTYPE = {
@@ -38,18 +32,39 @@ _TYPED_ARRAY_TO_DTYPE = {
 }
 
 
+def _to_dtype(v):
+    if not isinstance(v, str):
+        # JS constructor objects have a __name__-ish attr; accept dtypes too
+        v = getattr(v, "__name__", str(v))
+    return _TYPED_ARRAY_TO_DTYPE.get(v, v)
+
+
 def geowarp(**options):
-    """Single-call warp with the reference's option names."""
+    """Single-call warp with the reference's option names.
+
+    ``out_array_types`` (per-band typed-array constructors,
+    geowarp.js:477-483 / geowarp.d.ts:18-31) maps to per-band numpy
+    dtypes; ``insert_pixel`` / ``insert_sample`` (geowarp.js:157-158,
+    README.md:177-193) are pluggable sinks called with VECTORIZED
+    (band, rows, cols, values) numpy arrays — see kernels.warp._materialize.
+    """
     kw = {}
     for k, v in options.items():
         if k in _IGNORED:
             continue
         k = _RENAMES.get(k, k)
-        if k == "out_dtype" and isinstance(v, (list, tuple)):
-            v = v[-1] if v else None  # innermost constructor decides dtype
-        if k == "out_dtype" and isinstance(v, str) and v in _TYPED_ARRAY_TO_DTYPE:
-            v = _TYPED_ARRAY_TO_DTYPE[v]
-        if k == "reproject":
+        if k == "out_array_types" and v:
+            dts = [_to_dtype(t) for t in (v if isinstance(v, (list, tuple)) else [v])]
+            if len(set(dts)) == 1:
+                kw["out_dtype"] = dts[0]   # homogeneous: plain dtype path
+            else:
+                kw["out_array_types"] = dts
+            continue
+        if k == "out_dtype" and isinstance(v, str):
+            v = _to_dtype(v)
+        if k == "reproject":   # deprecated alias of inverse (geowarp.js:187)
             k = "inverse"
+        if k == "insert":      # deprecated alias of insert_pixel (geowarp.js:190)
+            k = "insert_pixel"
         kw[k] = v
     return _warp(**kw)

@@ -96,7 +96,7 @@ def warp(
     inverse=None,
     forward=None,
     cutline=None,
-    cutline_bbox=None,
+    cutline_bbox=None,  # perf hint: precomputed bbox of cutline in cutline_srs
     cutline_srs=None,
     cutline_forward=None,
     cutline_strategy="outside",
@@ -104,6 +104,9 @@ def warp(
     insert_null_strategy="skip",
     skip_no_data_strategy=None,
     cache_process=None,
+    out_array_types=None,
+    insert_pixel=None,
+    insert_sample=None,
 ):
     # ------------------------------------------------ 1. validate/normalize
     if out_height is None or out_width is None or np.isnan(out_height) or np.isnan(out_width):
@@ -326,12 +329,16 @@ def warp(
             in_bbox, out_bbox, out_bbox_in_srs, hs, ws, in_width, in_height,
             same_srs, inverse, in_img_to_out_srs, gt, cutline_eff, cutline_strategy,
             in_xmin, in_ymin, in_xmax, in_ymax, nodata,
+            # the hint bbox is in cutline_srs coords — usable as the in-srs
+            # cutline bbox only when those frames coincide
+            cutline_bbox=cutline_bbox if (cutline_srs == in_srs or
+                                          (cutline_srs is None and same_srs)) else None,
         )
         return _materialize(
             out_block, written, hs, ws, x_scale, y_scale, out_width, out_height,
             out_layout, out_dtype, fill_out, out_bands, read_bands,
             out_pixel_height, out_pixel_width, out_sample_height, out_sample_width,
-            out_pixel_depth,
+            out_pixel_depth, out_array_types, insert_pixel, insert_sample,
         )
     else:
         _kernel_boxstats(
@@ -358,7 +365,7 @@ def warp(
         out_block, written, hs, ws, x_scale, y_scale, out_width, out_height,
         out_layout, out_dtype, fill_out, out_bands, read_bands,
         out_pixel_height, out_pixel_width, out_sample_height, out_sample_width,
-        out_pixel_depth,
+        out_pixel_depth, out_array_types, insert_pixel, insert_sample,
     )
 
 
@@ -594,7 +601,7 @@ def _kernel_boxstats(gathered, written, keep, fblock, rb_idx, to_img,
 def _kernel_vectorize(fblock, rb_idx, process, should_skip, segments_by_row, keep_mask,
                       in_bbox, out_bbox, out_bbox_in_srs, hs, ws, in_w, in_h,
                       same_srs, inverse, in_img_to_out_srs, gt, cutline, cutline_strategy,
-                      in_xmin, in_ymin, in_xmax, in_ymax, nodata):
+                      in_xmin, in_ymin, in_xmax, in_ymax, nodata, cutline_bbox=None):
     """forward-paint "vectorize" kernel (geowarp.js:613-703, J2):
     each input pixel's quad is reprojected into output space and
     rasterized onto the output sample grid it overlaps; later pixels
@@ -611,7 +618,8 @@ def _kernel_vectorize(fblock, rb_idx, process, should_skip, segments_by_row, kee
     sample_bbox = list(out_bbox_in_srs)
     if cutline is not None:
         cut_in_srs = cutline if same_srs else _reproject_geojson(cutline, inverse)
-        cb = _geojson_bbox(cut_in_srs)
+        # cutline_bbox hint (geowarp.js:151) skips the geometry bbox scan
+        cb = list(cutline_bbox) if cutline_bbox is not None else _geojson_bbox(cut_in_srs)
         if not boolean_intersects(in_bbox, cb):
             return np.full((n_read, hs, ws), np.nan), written
         if cutline_strategy != "inside":
@@ -739,12 +747,34 @@ def _geojson_bbox(geometry):
     return [pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()]
 
 
+def _cast_band(band, dtype):
+    dt = np.dtype(dtype)
+    if np.issubdtype(dt, np.integer):
+        band = np.nan_to_num(band, nan=0.0, posinf=0.0, neginf=0.0)
+    return band.astype(dt)
+
+
 def _materialize(out_block, written, hs, ws, x_scale, y_scale, out_width, out_height,
                  out_layout, out_dtype, fill_out, out_bands, read_bands,
                  out_pixel_height, out_pixel_width, out_sample_height, out_sample_width,
-                 out_pixel_depth):
+                 out_pixel_depth, out_array_types=None, insert_pixel=None,
+                 insert_sample=None):
     """Sample-grid -> full output grid with footprint replication (L4,
-    geowarp.js:506-521 insert_sample + scalePixel), fill, dtype, layout."""
+    geowarp.js:506-521 insert_sample + scalePixel), fill, dtype, layout.
+
+    ``out_array_types``: per-band dtype list (geowarp.js:477-483 allocates
+    one typed array per band via xdim) — honored when the out layout's
+    outermost group is [band]; heterogeneous dtypes with an interleaved
+    layout are a contradiction and raise.
+
+    ``insert_sample`` / ``insert_pixel``: pluggable output sinks (S6,
+    geowarp.js:157-158, README.md:177-193).  The reference calls them
+    per-scalar; here the contract is VECTORIZED — each callable is invoked
+    once per band with (band_index, rows, cols, values) numpy arrays
+    covering every written sample (insert_sample, pre-replication sample
+    grid) / output pixel (insert_pixel, final grid).  The normal envelope
+    is still returned.
+    """
     n_out = out_block.shape[0]
     if hs == out_height and ws == out_width:
         full = out_block
@@ -760,15 +790,60 @@ def _materialize(out_block, written, hs, ws, x_scale, y_scale, out_width, out_he
         full = out_block[:, row_map][:, :, col_map]
         wfull = written[row_map][:, col_map]
 
+    band_dtypes = None
+    if out_array_types:
+        band_dtypes = [np.dtype(t) for t in out_array_types]
+        if len(band_dtypes) < n_out:
+            band_dtypes += [band_dtypes[-1]] * (n_out - len(band_dtypes))
+
+    if insert_sample is not None:
+        sr, sc = np.nonzero(written)
+        for bi in range(n_out):
+            v = out_block[bi, sr, sc]
+            if band_dtypes:
+                v = _cast_band(v, band_dtypes[bi])
+            elif out_dtype is not None:
+                v = _cast_band(v, out_dtype)
+            insert_sample(bi, sr, sc, v)
+
     data = np.where(wfull[None], full, fill_out)
-    if out_dtype is not None:
-        dt = np.dtype(out_dtype)
-        if np.issubdtype(dt, np.integer):
-            data = np.nan_to_num(data, nan=0.0, posinf=0.0, neginf=0.0)
-        data = data.astype(dt)
+    if band_dtypes is not None:
+        uniq_dts = set(band_dtypes[:n_out])
+        if len(uniq_dts) > 1 and not out_layout.startswith("[band]"):
+            raise ValueError(
+                "heterogeneous out_array_types require a [band]-outer "
+                f"layout, got {out_layout!r}")
+        per_band = [_cast_band(data[bi], band_dtypes[bi]) for bi in range(n_out)]
+        if len(uniq_dts) == 1:
+            data = np.stack(per_band)
+        else:
+            # canonical block uses the widest common dtype; the layout
+            # envelope below carries the true per-band typed arrays
+            common = np.result_type(*band_dtypes[:n_out])
+            data = np.stack([b.astype(common) for b in per_band])
+    elif out_dtype is not None:
+        data = _cast_band(data, out_dtype)
+        per_band = None
+    else:
+        per_band = None
+
+    if insert_pixel is not None:
+        pr, pc = np.nonzero(wfull)
+        for bi in range(n_out):
+            src = per_band[bi] if band_dtypes is not None else data[bi]
+            insert_pixel(bi, pr, pc, src[pr, pc])
+
+    if band_dtypes is not None and len(set(band_dtypes[:n_out])) > 1:
+        # [band]-outer layouts: emit the true per-band typed arrays
+        if out_layout == "[band][row,column]":
+            env_data = [np.ascontiguousarray(b).reshape(-1) for b in per_band]
+        else:  # [band][row][column]
+            env_data = [[np.ascontiguousarray(r) for r in b] for b in per_band]
+    else:
+        env_data = from_brc(data, out_layout)
 
     return {
-        "data": from_brc(data, out_layout),
+        "data": env_data,
         "block": data,  # canonical (B,H,W) ndarray for Spark sinks
         "out_bands": list(out_bands),
         "out_height": out_height,

@@ -150,10 +150,18 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col="text", id_col="doc_id",
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(text_col, n))).alias("g"),
     )
-    # df-cap: drop grams appearing in > 1% of docs (hot-key guard)
-    total = docs.count()
-    cap = max(2, int(total * 0.01))
-    hot = grams.groupBy("g").count().filter(F.col("count") > cap).select("g")
+    # df-cap: drop grams appearing in > 1% of docs (hot-key guard).  The
+    # cap is computed inside the same DAG (1-row aggregate broadcast into
+    # the filter) — no extra driver-side action per invocation.
+    total = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    hot = (
+        grams.groupBy("g").count()
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("count") > F.greatest(
+            F.lit(2).cast("long"),
+            (F.col("n_docs") * F.lit(0.01)).cast("long")))
+        .select("g")
+    )
     grams = grams.join(F.broadcast(hot), "g", "left_anti")
     sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = grams.withColumnRenamed(id_col, "id_a")

@@ -79,32 +79,62 @@ def brute_force_topk(emb: DataFrame, queries: DataFrame, k=10,
     scored = emb.select(id_col, vec_col).mapInPandas(
         gen, schema=f"{qid_col} long, {id_col} long, cos double"
     )
+    # zero-norm vectors yield NaN cosine; Spark sorts NaN above every real
+    # double, so they would poison the top-k (DuckDB emits NULL which sorts
+    # last — silent divergence).  Drop non-finite scores on both engines.
+    scored = scored.filter(~F.isnan("cos") & F.col("cos").isNotNull())
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def lsh_topk(emb: DataFrame, queries: DataFrame, k=10, n_planes=8,
              id_col="vec_id", vec_col="embedding",
-             qid_col="query_id", qvec_col="qvec") -> DataFrame:
+             qid_col="query_id", qvec_col="qvec",
+             guarantee_k=True) -> DataFrame:
     """Approximate top-k: candidates from matching LSH bucket, exact
     cosine re-rank within candidates.  Recall grows with fewer planes;
     multiprobe (flip one bit) widens candidates at the same shuffle
-    shape."""
+    shape.
+
+    ``guarantee_k``: a query whose buckets are starved (< k finite-cosine
+    candidates) falls back to exact scoring against the full table — so
+    every query returns exactly min(k, |table|) rows instead of silently
+    under-filling.  The fallback is part of the same DAG (no driver
+    loop): candidate counts per query are a tiny aggregate, the starved
+    query set is broadcast, and only starved queries pay the full scan."""
     e = emb.withColumn("bucket", lsh_bucket_expr(vec_col, n_planes))
     q = queries.withColumn("qbucket", lsh_bucket_expr(qvec_col, n_planes))
     # multiprobe: the query's own bucket + all 1-bit flips
     probes = F.array(*([F.col("qbucket")] + [
         F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
     ]))
-    q = q.withColumn("bucket", F.explode(probes))
-    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
-    return (
-        e.join(F.broadcast(q), "bucket")
+    qp = q.withColumn("bucket", F.explode(probes))
+    cand = (
+        e.join(F.broadcast(qp), "bucket")
         .select(qid_col, id_col, cosine_expr(vec_col, qvec_col).alias("cos"))
         .dropDuplicates([qid_col, id_col])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(~F.isnan("cos") & F.col("cos").isNotNull())
     )
+    if guarantee_k:
+        counts = cand.groupBy(qid_col).agg(F.count(F.lit(1)).alias("nc"))
+        # queries absent from cand entirely (zero candidates) must also be
+        # starved: left-join the query table onto the counts
+        starved = (
+            queries.select(qid_col, qvec_col)
+            .join(counts, qid_col, "left")
+            .filter(F.coalesce(F.col("nc"), F.lit(0)) < k)
+            .drop("nc")
+        )
+        brute = (
+            emb.crossJoin(F.broadcast(starved))
+            .select(qid_col, id_col, cosine_expr(vec_col, qvec_col).alias("cos"))
+            .filter(~F.isnan("cos") & F.col("cos").isNotNull())
+        )
+        cand = cand.join(
+            F.broadcast(starved.select(qid_col)), qid_col, "left_anti"
+        ).unionByName(brute)
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k=10, n_centroids=16, n_probe=4,
@@ -132,6 +162,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k=10, n_centroids=16, n_probe=4
         e.join(F.broadcast(q), "bucket")
         .select(qid_col, id_col, cosine_expr(vec_col, qvec_col).alias("cos"))
         .dropDuplicates([qid_col, id_col])
+        .filter(~F.isnan("cos") & F.col("cos").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

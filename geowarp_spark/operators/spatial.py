@@ -115,15 +115,9 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     return _topk_two_phase(cand, k, query_id, point_id)
 
 
-def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
-                   ring: int = 1, lon="lon", lat="lat", qlon="qlon", qlat="qlat",
-                   point_id="doc_id", query_id="query_id") -> DataFrame:
-    """Scale path for kNN: candidate gather via cell-disk equi-join, then
-    exact rank refinement.  Falls back to widening the ring via a second
-    pass for queries with < k candidates (handled by caller; at a sane z
-    the disk is dense enough).  This is the H3 grid_disk pattern (SURVEY
-    J5) — candidates shuffle on cell id, never a full cross join.
-    """
+def _knn_cells_pass(points, queries, k, z, ring, lon, lat, qlon, qlat,
+                    point_id, query_id):
+    """One cell-disk candidate pass at a fixed ring (see knn_join_cells)."""
     n = 1 << z
     pts = points.withColumn("cell", F.expr(cell_sql_expr(lon, lat, z)))
     # explode each query's (2*ring+1)^2 cell disk — JVM sequence math
@@ -145,6 +139,65 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     # cells are array_distinct, so each (query, point) matches at most once
     cand = pts.join(F.broadcast(q), "cell").select(query_id, point_id, d2)
     return _topk_two_phase(cand, k, query_id, point_id)
+
+
+def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
+                   ring: int = 1, lon="lon", lat="lat", qlon="qlon", qlat="qlat",
+                   point_id="doc_id", query_id="query_id") -> DataFrame:
+    """Scale path for kNN: candidate gather via cell-disk equi-join, then
+    exact rank refinement, with RING WIDENING so results are exact even
+    for queries in sparse regions.  This is the H3 grid_disk pattern
+    (SURVEY J5) — candidates shuffle on cell id, never a full cross join.
+
+    Exactness criterion per query: a disk of Chebyshev radius ``ring``
+    at zoom ``z`` is guaranteed to contain every point within euclidean
+    degree distance ``ring * 180 / 2^z`` (the lat cell height binds: a
+    point within that distance crosses at most ``ring`` lat and lon cell
+    boundaries).  A query is settled when it has >= k candidates AND its
+    k-th distance is strictly inside that guaranteed radius; otherwise
+    the ring doubles and only the unsettled queries re-run.  A disk with
+    ``2*ring+1 >= 2^z`` covers the whole grid, so termination is
+    guaranteed and that final pass is exact by construction.
+
+    The per-pass settledness check collects only (query, count, kth
+    dist) — queries are the contractually small broadcast side, so the
+    driver loop is O(#unsettled queries) per pass, never O(points).
+    """
+    import pandas as pd
+
+    n = 1 << z
+    spark = points.sparkSession
+    remaining = queries
+    cur_ring = max(1, int(ring))
+    settled_rows: list = []
+    out_schema = None
+    while True:
+        res = _knn_cells_pass(points, remaining, k, z, cur_ring,
+                              lon, lat, qlon, qlat, point_id, query_id)
+        rows = res.collect()  # <= k rows per remaining query (tiny)
+        if out_schema is None:
+            out_schema = res.schema
+        full_cover = (2 * cur_ring + 1) >= n
+        guaranteed_d2 = (cur_ring * 180.0 / n) ** 2
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r[query_id], []).append(r)
+        q_ids = [r[0] for r in remaining.select(query_id).distinct().collect()]
+        todo = []
+        for qid in q_ids:
+            got = by_q.get(qid, [])
+            kth = max((r["dist2"] for r in got), default=float("inf"))
+            if full_cover or (len(got) >= k and kth < guaranteed_d2):
+                settled_rows.extend(got)
+            else:
+                todo.append(qid)
+        if not todo:
+            break
+        remaining = remaining.filter(F.col(query_id).isin(todo))
+        cur_ring *= 2
+    pdf = pd.DataFrame([r.asDict() for r in settled_rows],
+                       columns=[f.name for f in out_schema.fields])
+    return spark.createDataFrame(pdf, schema=out_schema)
 
 
 def cell_rollup(points: DataFrame, z_levels, lon="lon", lat="lat",

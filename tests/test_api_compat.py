@@ -38,3 +38,51 @@ def test_envelope_layout_default_matches_input():
                 in_width=2, in_height=2, out_width=2, out_height=2, method="near")
     assert r["out_layout"] == "[band][row,column]"
     assert isinstance(r["data"], list) and r["data"][0].shape == (4,)
+
+def test_mixed_out_array_types_per_band():
+    """Per-band dtypes (geowarp.js:477-483): float data + uint8 alpha."""
+    data = np.stack([
+        np.array([[1.5, 2.5], [3.5, 4.5]]),
+        np.array([[255, 255], [255, 255]], dtype=float),
+    ])
+    r = geowarp(
+        in_data=data, in_bbox=[0, 0, 2, 2], in_srs=3857, out_srs=3857,
+        in_width=2, in_height=2, out_width=2, out_height=2, method="near",
+        out_array_types=["Float32Array", "Uint8Array"],
+    )
+    assert isinstance(r["data"], list)
+    assert r["data"][0].dtype == np.float32
+    assert r["data"][1].dtype == np.uint8
+    np.testing.assert_allclose(r["data"][0], [1.5, 2.5, 3.5, 4.5])
+    np.testing.assert_array_equal(r["data"][1], [255, 255, 255, 255])
+    # canonical block widens to a common dtype
+    assert r["block"].dtype == np.float32
+
+
+def test_insert_pixel_and_sample_sinks():
+    """Pluggable sinks (S6, geowarp.js:157-158 / README.md:177-193):
+    vectorized (band, rows, cols, values) calls covering every written
+    output pixel / sample."""
+    data = [np.array([[10, 20], [30, 40]], dtype=np.uint8)]
+    seen_px = {}
+    seen_samp = {}
+
+    def insert_pixel(band, rows, cols, values):
+        seen_px[band] = (rows.copy(), cols.copy(), values.copy())
+
+    def insert_sample(band, rows, cols, values):
+        seen_samp[band] = (rows.copy(), cols.copy(), values.copy())
+
+    r = geowarp(
+        in_data=data, in_bbox=[0, 0, 2, 2], in_srs=3857, out_srs=3857,
+        in_width=2, in_height=2, out_width=2, out_height=2, method="near",
+        out_array_types=["Uint8Array"],
+        insert_pixel=insert_pixel, insert_sample=insert_sample,
+    )
+    rows, cols, vals = seen_px[0]
+    assert len(rows) == 4  # every out pixel written
+    grid = np.zeros((2, 2), dtype=np.uint8)
+    grid[rows, cols] = vals
+    np.testing.assert_array_equal(grid, r["block"][0])
+    srows, scols, svals = seen_samp[0]
+    assert len(srows) == 4 and svals.dtype == np.uint8

@@ -88,7 +88,9 @@ def test_knn_cells_equals_brute(spark, sf_dir):
 
     brute = {tuple(r) for r in em.q_knn(spark, sf_dir).collect()}
     cells = {tuple(r) for r in em.q_knn_cells(spark, sf_dir).collect()}
-    assert brute == cells and len(brute) == 15
+    # 4 queries x k=5; query 4 is in a sparse polar region so the cells
+    # path must ring-widen past the initial ring=2 disk to agree with brute
+    assert brute == cells and len(brute) == 20
 
 
 def test_salted_counts_equal_plain(spark, sf_dir):
@@ -216,6 +218,41 @@ def test_lsh_topk_recall(spark, sf_dir):
     from collections import Counter
     per_q = Counter(qid for qid, _ in approx)
     assert all(v == 5 for v in per_q.values())
+
+
+def test_lsh_topk_starved_fallback_exact(spark, sf_dir):
+    """With many planes the buckets starve (far fewer than k candidates);
+    guarantee_k must fall back to exact scoring so starved queries return
+    the TRUE top-k, equal to brute force."""
+    from geowarp_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    from collections import Counter
+
+    brute = {(r["query_id"], r["vec_id"], r["rank"])
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    # 24 planes over few vectors: buckets are near-singleton -> starved
+    rows = lsh_topk(emb, q, k=5, n_planes=24).collect()
+    approx = {(r["query_id"], r["vec_id"], r["rank"]) for r in rows}
+    # the k-guarantee: every query returns exactly k rows (no under-fill)
+    per_q = Counter(r["query_id"] for r in rows)
+    assert sorted(per_q) == [0, 1, 2] and all(v == 5 for v in per_q.values())
+    # fully-starved queries (took the exact fallback) match brute exactly;
+    # rank 1 is always the vector itself (cos = 1)
+    assert {(qid, vid) for qid, vid, rk in approx if rk == 1} == \
+           {(0, 0), (1, 1), (2, 2)}
+    # without the fallback this configuration under-fills badly
+    under = lsh_topk(emb, q, k=5, n_planes=24, guarantee_k=False).collect()
+    assert len(under) < 15
+    # and the fallback rows for starved queries are the true nearest
+    starved_qids = {qid for qid, n in Counter(
+        r["query_id"] for r in under).items() if n < 5} | (
+        {0, 1, 2} - {r["query_id"] for r in under})
+    for qid in starved_qids:
+        assert {(a, b, c) for a, b, c in approx if a == qid} == \
+               {(a, b, c) for a, b, c in brute if a == qid}
 
 
 # ------------------------------------------------------------ pages
