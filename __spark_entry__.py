@@ -14,6 +14,7 @@ verification lives in tests/.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -512,24 +513,46 @@ _RASTERIZE_ORACLE = f"""
 # ----------------------------------------------------- rows-only entries
 
 
-def q_warp_tiles(spark, sf_dir):  # the raster engine itself (numpy kernels)
+_FIXTURES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _warp_tile_stats(out: DataFrame) -> DataFrame:
+    """Comparable per-tile stats: every column BIGINT/string, payload
+    compared bit-for-bit via CRC-32 of the raw tile bytes (JVM crc32)."""
+    return out.select(
+        F.col("z").cast("long").alias("z"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        "method",
+        F.col("bands").cast("long").alias("bands"),
+        F.col("valid_px").cast("long").alias("valid_px"),
+        F.crc32("data").alias("payload_crc"),
+    )
+
+
+def q_warp_tiles(spark, sf_dir):
+    """The raster engine itself.  Oracle = pinned expected table computed
+    by an INDEPENDENT SERIAL full-raster warp (tools/pin_expected.py, the
+    reference's own expected-output oracle style, test.js:264-274): the
+    distributed chunked+halo-stitched plan must reproduce band count,
+    finite-pixel count and payload CRC-32 per tile, bit-for-bit."""
     from geowarp_spark.operators.warp_tiles import warp_fixture_to_tiles
     from geowarp_spark.sources.fixtures import build_fixture
 
     fx = build_fixture("rgb_smallscale")
     out = warp_fixture_to_tiles(spark, fx, zooms=[9, 10], method="near", out_size=128,
                                 join_strategy="broadcast_map")
-    return out.select("z", "x", "y", "method", "bands", "valid_px", "n_chunks")
+    return _warp_tile_stats(out)
 
 
-def q_warp_boxstats(spark, sf_dir):  # box-stat resampling on tiles
+def q_warp_boxstats(spark, sf_dir):  # box-stat resampling on tiles (same oracle style)
     from geowarp_spark.operators.warp_tiles import warp_fixture_to_tiles
     from geowarp_spark.sources.fixtures import build_fixture
 
     fx = build_fixture("rgba_webmerc")
     out = warp_fixture_to_tiles(spark, fx, zooms=[8, 9], method="median", out_size=64,
                                 join_strategy="broadcast_map")
-    return out.select("z", "x", "y", "method", "bands", "valid_px", "n_chunks")
+    return _warp_tile_stats(out)
 
 
 def q_multimodal(spark, sf_dir):  # multimodal plumbing (stubbed decode)
@@ -891,4 +914,14 @@ def oracle_sql() -> dict[str, str]:
             fine=_cell_sql("lon", "lat", 12), coarse=_cell_sql("lon", "lat", 6)
         ),
         "similarity_lsh": _lsh_oracle_sql(k=10, n_planes=8),
+        # warp engine: pinned expected tables from the independent serial
+        # full-raster path (tools/pin_expected.py) — DuckDB replays them
+        "warp_tiles": f"""
+            SELECT z, x, y, method, bands, valid_px, payload_crc
+            FROM read_parquet('{_FIXTURES_DIR}/expected_warp_tiles.parquet')
+        """,
+        "warp_boxstats": f"""
+            SELECT z, x, y, method, bands, valid_px, payload_crc
+            FROM read_parquet('{_FIXTURES_DIR}/expected_warp_boxstats.parquet')
+        """,
     }
