@@ -555,16 +555,38 @@ def q_warp_boxstats(spark, sf_dir):  # box-stat resampling on tiles (same oracle
     return _warp_tile_stats(out)
 
 
-def q_multimodal(spark, sf_dir):  # multimodal plumbing (stubbed decode)
-    from geowarp_spark.operators.multimodal import attach_fake_media, extract_features
+def q_multimodal(spark, sf_dir):
+    """Multimodal pipeline with REAL decode: payloads are actual PNG /
+    raw-PCM bytes (stdlib zlib container), extract_features decodes them
+    (chunk walk, CRC verify, inflate, un-filter) and sums the pixels.
+    Pixel content is an integer function of doc_id, so the DuckDB oracle
+    recomputes the per-type pixel sums analytically — a decode failure or
+    wrong un-filtering breaks px_sum/n_ok."""
+    from geowarp_spark.operators.multimodal import attach_media, extract_features
 
     _views(spark, sf_dir)
-    media = attach_fake_media(spark.table("documents"))
+    media = attach_media(spark.table("documents"))
     feats = extract_features(media)
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("decode_ok"), 1).otherwise(0)).cast("long").alias("n_ok"),
+        F.sum("px_sum").cast("long").alias("px_sum"),
     )
+
+
+_MULTIMODAL_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
+    t AS (SELECT 'image' AS media_type, 0 AS m, 64 AS npx
+          UNION ALL SELECT 'audio', 1, 64
+          UNION ALL SELECT 'video', 2, 128),
+    px AS (SELECT t.media_type, d.doc_id, unnest(range(t.npx)) AS i
+           FROM d JOIN t ON d.m = t.m)
+    SELECT media_type,
+           count(DISTINCT doc_id) AS n,
+           count(DISTINCT doc_id) AS n_ok,
+           CAST(sum((doc_id * 7919 + i * 104729) % 256) AS BIGINT) AS px_sum
+    FROM px GROUP BY media_type
+"""
 
 
 def q_similarity_lsh(spark, sf_dir):  # ANN scale path — deterministic LSH,
@@ -914,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
             fine=_cell_sql("lon", "lat", 12), coarse=_cell_sql("lon", "lat", 6)
         ),
         "similarity_lsh": _lsh_oracle_sql(k=10, n_planes=8),
+        "multimodal": _MULTIMODAL_ORACLE,
         # warp engine: pinned expected tables from the independent serial
         # full-raster path (tools/pin_expected.py) — DuckDB replays them
         "warp_tiles": f"""

@@ -1,11 +1,21 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with a
+REAL stdlib decode path.
 
-Images/audio/video are opaque ``binary`` columns with typed metadata
-structs.  The decode/feature steps are STUBS (no image/audio libs in this
-container — clearly marked), but the Spark-side plumbing is real and
-tested: schemas, Arrow batch shapes, ``mapInPandas`` signatures,
-partitioning.  Swap ``_decode_stub`` for a real decoder (PIL/ffmpeg) on a
-cluster with the libs installed and nothing else changes.
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+Payloads are genuinely encoded media: images and video keyframes are real
+PNG files (written by the same stdlib encoder the tile sink uses,
+sources.sinks.write_png) and audio is raw 8-bit PCM; ``extract_features``
+actually DECODES them (PNG chunk walk + CRC verify + inflate + un-filter,
+sources.sinks.decode_png) before the vectorized feature math.  No external
+media libs are needed: PNG is a zlib container and zlib is stdlib.  A
+cluster with PIL/libav swaps ``_decode`` for richer codecs; schemas, Arrow
+batch shapes and partitioning are unchanged.
+
+Pixel content is a pure integer function of doc_id so tests and the
+DuckDB oracle can recompute expected pixel sums analytically:
+    pixel[i] = (doc_id * 7919 + i * 104729) % 256
+(image: 64 px as 8x8 gray PNG; audio: 64 raw bytes; video: 128 px as a
+16x8 gray PNG keyframe).
 """
 
 from __future__ import annotations
@@ -22,60 +32,98 @@ MEDIA_SCHEMA = (
     "n_frames int, payload binary"
 )
 
-FEATURE_SCHEMA = "doc_id bigint, media_type string, feat array<float>, decode_ok boolean"
+FEATURE_SCHEMA = (
+    "doc_id bigint, media_type string, feat array<float>, "
+    "decode_ok boolean, px_sum bigint"
+)
+
+# (media_type, n_pixels, (height, width) for PNG types)
+_SPECS = {0: ("image", 64, (8, 8)), 1: ("audio", 64, None), 2: ("video", 128, (8, 16))}
 
 
-def attach_fake_media(docs: DataFrame, id_col="doc_id") -> DataFrame:
-    """Deterministic fake media payloads derived from doc_id: the payload
-    bytes are a pure function of the id (xxhash64-seeded), so tests are
-    reproducible without real media files."""
-    return docs.select(
-        F.col(id_col),
-        F.when(F.col(id_col) % 3 == 0, "image")
-        .when(F.col(id_col) % 3 == 1, "audio")
-        .otherwise("video")
-        .alias("media_type"),
-        (F.pmod(F.col(id_col), F.lit(512)) + 16).cast("int").alias("width"),
-        (F.pmod(F.col(id_col) * 7, F.lit(512)) + 16).cast("int").alias("height"),
-        (F.pmod(F.col(id_col), F.lit(30)) + 1).cast("int").alias("n_frames"),
-        F.encode(F.conv(F.xxhash64(F.col(id_col)).cast("string"), 10, 16), "utf-8").alias("payload"),
-    )
+def _pixels(doc_id: int, n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.int64)
+    return ((doc_id * 7919 + i * 104729) % 256).astype(np.uint8)
 
 
-def _decode_stub(payload: bytes, media_type: str) -> np.ndarray:
-    """STUB decoder: a real deployment replaces this with PIL/libav.
-    Deterministic fake: derive a small fixed-size 'pixel' array from the
-    payload bytes so downstream feature math is exercised end-to-end."""
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-    if arr.size == 0:
-        raise NotImplementedError("real decode requires media libs absent in this container")
-    reps = int(np.ceil(64 / arr.size))
-    return np.tile(arr, reps)[:64]
+def _encode_payload(doc_id: int) -> tuple[str, int, int, bytes]:
+    from ..sources.sinks import write_png_bytes
+
+    kind, n, shape = _SPECS[doc_id % 3]
+    px = _pixels(doc_id, n)
+    if shape is None:  # audio: raw 8-bit PCM
+        return kind, n, 1, px.tobytes()
+    h, w = shape
+    return kind, w, h, write_png_bytes(px.reshape(1, h, w))
+
+
+def attach_media(docs: DataFrame, id_col="doc_id") -> DataFrame:
+    """Attach deterministic REAL media payloads (PNG / raw PCM) derived
+    from doc_id.  Encoding happens in an Arrow-batched mapInPandas pass
+    (PNG encoding is per-file by nature; the pixel synthesis is
+    vectorized numpy per batch)."""
+    ids = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "media_type": [], "width": [], "height": [],
+                    "n_frames": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind, w, h, payload = _encode_payload(did)
+                rows["doc_id"].append(did)
+                rows["media_type"].append(kind)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(1 if kind != "video" else 1)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# kept name from round 1 (tests / callers): the payloads are now real media
+attach_fake_media = attach_media
+
+
+def _decode(payload: bytes, media_type: str) -> np.ndarray:
+    """Decode a payload to a flat uint8 sample array.  PNG types go
+    through the real stdlib decoder (CRC verify + inflate + un-filter);
+    audio is raw PCM bytes."""
+    from ..sources.sinks import decode_png
+
+    if media_type in ("image", "video"):
+        return decode_png(payload).reshape(-1)
+    return np.frombuffer(bytes(payload), dtype=np.uint8)
 
 
 def extract_features(media: DataFrame, batch_hint=1024) -> DataFrame:
     """Decode + feature-extract via mapInPandas: Arrow batches in, fixed
-    8-dim feature vectors out.  The numpy math inside is fully vectorized
-    per batch; only the (stub) decode touches rows."""
+    8-dim feature vectors (means of 8 equal sample slices) + the exact
+    pixel sum out.  Decode is per-file by nature (each payload is an
+    independent compressed container); the feature math is vectorized
+    numpy over the decoded samples."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            oks = []
+            feats, oks, sums = [], [], []
             for payload, mt in zip(pdf["payload"], pdf["media_type"]):
                 try:
-                    px = _decode_stub(payload, mt)
-                    mat = px.reshape(8, 8)
-                    feats.append(mat.mean(axis=1).astype(np.float32).tolist())
+                    px = _decode(payload, mt).astype(np.float64)
+                    feats.append(px.reshape(8, -1).mean(axis=1)
+                                 .astype(np.float32).tolist())
+                    sums.append(int(px.sum()))
                     oks.append(True)
-                except NotImplementedError:
+                except Exception:
                     feats.append([0.0] * 8)
+                    sums.append(0)
                     oks.append(False)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": pdf["media_type"],
                 "feat": feats,
                 "decode_ok": oks,
+                "px_sum": sums,
             })
 
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)

@@ -337,16 +337,41 @@ def test_incremental_streaming(spark, sf_dir, tmp_path):
 
 def test_multimodal_plumbing(spark, sf_dir):
     from geowarp_spark.operators.multimodal import (
-        attach_fake_media, extract_features, frame_sample)
+        attach_media, extract_features, frame_sample)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = attach_fake_media(docs)
+    media = attach_media(docs)
     feats = extract_features(media)
     row = feats.first()
     assert len(row["feat"]) == 8
     assert feats.filter("decode_ok").count() == media.count()
     fs = frame_sample(media.limit(10))
     assert fs.count() >= 10
+
+
+def test_multimodal_real_decode_and_corruption(spark, sf_dir):
+    """The decode is real: pixel sums match the analytic formula, and a
+    corrupted payload (flipped byte inside IDAT) fails its CRC check ->
+    decode_ok=False instead of garbage features."""
+    from geowarp_spark.operators.multimodal import (
+        _pixels, attach_media, extract_features)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = attach_media(docs)
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    for did, r in feats.items():
+        n = {"image": 64, "audio": 64, "video": 128}[r["media_type"]]
+        assert r["decode_ok"] and r["px_sum"] == int(_pixels(did, n).sum())
+
+    corrupted = media.withColumn(
+        "payload",
+        F.when(F.col("media_type") != "audio",
+               F.expr("concat(substring(payload, 1, 40), X'FF', "
+                      "substring(payload, 42, length(payload)))"))
+        .otherwise(F.col("payload")))
+    bad = extract_features(corrupted).filter("NOT decode_ok").count()
+    n_png = media.filter("media_type != 'audio'").count()
+    assert bad == n_png  # every corrupted PNG detected, audio untouched
 
 
 # ------------------------------------------------------------ plans
