@@ -368,6 +368,156 @@ def q_simhash(spark, sf_dir):  # dedup: 16-bit portable SimHash
     """)
 
 
+# --- full-width dedup operators, verified with the portable hash family ---
+# These run the REAL operator code (geowarp_spark.operators.dedup) at full
+# width — 32 minhashes with real banding, 64-bit simhash packing, band
+# self-joins — swapping only xxhash64 for the engine-portable md5-based
+# 60-bit hash (dedup.PORTABLE_HASH_SQL) so DuckDB can replay them exactly.
+
+_MINHASH_FULL_N = 32
+_MINHASH_FULL_BANDS = 16
+_MINHASH_FULL_K = 5
+_MINHASH_FULL_THRESH = 0.2
+
+_DUCK_PORTABLE_HASH = (
+    "((('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+    " + {j} * 2654435761) % 2305843009213693951"
+)
+
+_DUCK_SHINGLES = f"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(text), ' +') AS toks
+               FROM documents),
+    shg AS (SELECT doc_id,
+                   CASE WHEN len(toks) < {_MINHASH_FULL_K}
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_transform(range(0, len(toks) - {_MINHASH_FULL_K - 1}),
+                             i -> array_to_string(toks[i+1:i+{_MINHASH_FULL_K}], ' '))
+                   END AS sh
+            FROM t)
+"""
+
+
+def q_minhash_full(spark, sf_dir):
+    from geowarp_spark.operators.dedup import PORTABLE_HASH_SQL, minhash_signatures
+
+    _views(spark, sf_dir)
+    sigs = minhash_signatures(spark.table("documents"),
+                              num_hashes=_MINHASH_FULL_N,
+                              shingle_k=_MINHASH_FULL_K,
+                              hash_sql=PORTABLE_HASH_SQL)
+    return sigs.select(
+        "doc_id", *[F.col("sig")[j].alias(f"s{j}") for j in range(_MINHASH_FULL_N)]
+    )
+
+
+def _minhash_full_oracle():
+    sigs = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _DUCK_PORTABLE_HASH.format(s="s", j=j) + f")) AS s{j}"
+        for j in range(_MINHASH_FULL_N)
+    )
+    return f"{_DUCK_SHINGLES} SELECT doc_id, {sigs} FROM shg"
+
+
+def q_minhash_pairs_full(spark, sf_dir):
+    from geowarp_spark.operators.dedup import PORTABLE_HASH_SQL, minhash_lsh_pairs
+
+    _views(spark, sf_dir)
+    pairs = minhash_lsh_pairs(spark.table("documents"),
+                              num_hashes=_MINHASH_FULL_N,
+                              bands=_MINHASH_FULL_BANDS,
+                              shingle_k=_MINHASH_FULL_K,
+                              jaccard_threshold=_MINHASH_FULL_THRESH,
+                              hash_sql=PORTABLE_HASH_SQL,
+                              portable_band_key=True)
+    return pairs.select("id_a", "id_b", "sim")
+
+
+def _minhash_pairs_full_oracle():
+    n, bands = _MINHASH_FULL_N, _MINHASH_FULL_BANDS
+    r = n // bands
+    sigs = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _DUCK_PORTABLE_HASH.format(s="s", j=j) + f")) AS s{j}"
+        for j in range(n)
+    )
+    siglist = "[" + ", ".join(f"s{j}" for j in range(n)) + "]"
+    return f"""{_DUCK_SHINGLES},
+        sg AS (SELECT doc_id, {sigs} FROM shg),
+        sig AS (SELECT doc_id, {siglist} AS sig FROM sg),
+        banded AS (SELECT doc_id, sig, b.band,
+                          array_to_string(sig[b.band*{r}+1 : b.band*{r}+{r}], '|') AS bh
+                   FROM sig CROSS JOIN
+                        (SELECT unnest(range({bands})) AS band) b),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                        a.sig AS sig_a, b2.sig AS sig_b
+                 FROM banded a JOIN banded b2
+                   ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id)
+        SELECT id_a, id_b, sim FROM (
+          SELECT id_a, id_b,
+                 list_sum(list_transform(range(1, {n + 1}),
+                     i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / {float(n)} AS sim
+          FROM cand) t
+        WHERE sim >= {_MINHASH_FULL_THRESH}
+    """
+
+
+def q_simhash_full(spark, sf_dir):
+    from geowarp_spark.operators.dedup import PORTABLE_HASH_SQL, simhash
+
+    _views(spark, sf_dir)
+    return simhash(spark.table("documents"), hash_sql=PORTABLE_HASH_SQL).select(
+        "doc_id", "simhash")
+
+
+_DUCK_SIMHASH_FULL = """
+    WITH toks AS (SELECT doc_id, {h} AS th
+                  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS tok
+                        FROM documents) e),
+    bits AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
+    packed AS (SELECT doc_id, {pack} AS simhash FROM bits)
+"""
+
+
+def _simhash_full_ctes():
+    # the portable hash is 60-bit (mod 2^61-1 after md5-60), so fingerprint
+    # bits 61-63 are structurally 0 on both engines; the Spark operator
+    # still packs all 64 (those terms are never set)
+    h = _DUCK_PORTABLE_HASH.format(s="tok", j=0)
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ((th >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(61)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(61)
+    )
+    return _DUCK_SIMHASH_FULL.format(h=h, bit_sums=bit_sums, pack=pack)
+
+
+def _simhash_full_oracle():
+    return _simhash_full_ctes() + " SELECT doc_id, CAST(simhash AS BIGINT) AS simhash FROM packed"
+
+
+def q_simhash_pairs_full(spark, sf_dir):
+    from geowarp_spark.operators.dedup import PORTABLE_HASH_SQL, simhash_near_dups
+
+    _views(spark, sf_dir)
+    out = simhash_near_dups(spark.table("documents"), hash_sql=PORTABLE_HASH_SQL)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_pairs_full_oracle():
+    return _simhash_full_ctes() + """,
+        banded AS (SELECT doc_id, simhash, b.band,
+                          (simhash >> (b.band * 16)) & 65535 AS bh
+                   FROM packed CROSS JOIN (SELECT unnest(range(4)) AS band) b)
+        SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+        FROM banded a JOIN banded b2
+          ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id
+    """
+
+
 def q_ngram_jaccard(spark, sf_dir):  # dedup: token-set jaccard pairs
     _views(spark, sf_dir)
     return spark.sql("""
@@ -698,7 +848,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_prefix": q_dedup_prefix,
         "minhash": q_minhash,
+        "minhash_full": q_minhash_full,
+        "minhash_pairs_full": q_minhash_pairs_full,
         "simhash": q_simhash,
+        "simhash_full": q_simhash_full,
+        "simhash_pairs_full": q_simhash_pairs_full,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -937,6 +1091,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "similarity_lsh": _lsh_oracle_sql(k=10, n_planes=8),
         "multimodal": _MULTIMODAL_ORACLE,
+        "minhash_full": _minhash_full_oracle(),
+        "minhash_pairs_full": _minhash_pairs_full_oracle(),
+        "simhash_full": _simhash_full_oracle(),
+        "simhash_pairs_full": _simhash_pairs_full_oracle(),
         # warp engine: pinned expected tables from the independent serial
         # full-raster path (tools/pin_expected.py) — DuckDB replays them
         "warp_tiles": f"""

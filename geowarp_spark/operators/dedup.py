@@ -39,14 +39,26 @@ def _shingles(text_col, k=5):
     )
 
 
+# portable (cross-engine) 60-bit hash family: md5 hex -> integer + Knuth
+# multiplier per hash index, mod 2^61-1.  Used by the *_full oracle queries
+# so the REAL operators (full hash width, real banding) are verified
+# against DuckDB — xxhash64 stays the default (faster, JVM-native).
+PORTABLE_HASH_SQL = (
+    "(CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    " + {j} * 2654435761) % 2305843009213693951"
+)
+
+
 def minhash_signatures(docs: DataFrame, text_col="text", id_col="doc_id",
-                       num_hashes=32, shingle_k=5) -> DataFrame:
+                       num_hashes=32, shingle_k=5, hash_sql=None) -> DataFrame:
     """MinHash signature per doc: sig[j] = min over shingles of
-    xxhash64(j, shingle).  array_min(transform(...)) keeps everything in
-    codegen — no Python."""
+    hash_j(shingle).  array_min(transform(...)) keeps everything in
+    codegen — no Python.  ``hash_sql``: template with {j}/{s} slots;
+    default xxhash64(j, s), PORTABLE_HASH_SQL for oracle replay."""
+    tmpl = hash_sql or "xxhash64({j}, {s})"
     sh = docs.select(F.col(id_col), _shingles(text_col, shingle_k).alias("sh"))
     sig = F.array(*[
-        F.expr(f"array_min(transform(sh, s -> xxhash64({j}, s)))").alias(f"m{j}")
+        F.expr(f"array_min(transform(sh, s -> {tmpl.format(j=j, s='s')}))").alias(f"m{j}")
         for j in range(num_hashes)
     ]).alias("sig")
     return sh.select(id_col, sig)
@@ -54,7 +66,8 @@ def minhash_signatures(docs: DataFrame, text_col="text", id_col="doc_id",
 
 def minhash_lsh_pairs(docs: DataFrame, text_col="text", id_col="doc_id",
                       num_hashes=32, bands=8, shingle_k=5,
-                      jaccard_threshold=0.5) -> DataFrame:
+                      jaccard_threshold=0.5, hash_sql=None,
+                      portable_band_key=False) -> DataFrame:
     """LSH candidate pairs + exact signature-jaccard verification.
 
     banding: rows_per_band = num_hashes // bands; docs sharing any band
@@ -63,12 +76,21 @@ def minhash_lsh_pairs(docs: DataFrame, text_col="text", id_col="doc_id",
     estimate).  Returns (id_a, id_b, sim) with id_a < id_b.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k,
+                              hash_sql=hash_sql)
+
+    def band_key(b):
+        cols = [F.col("sig")[b * r + i] for i in range(r)]
+        if portable_band_key:
+            # engine-portable bucket key (exact band-value tuple as text);
+            # xxhash64 of the tuple is the production default (shorter key)
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
     banded = sigs.select(
         id_col, "sig",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bh"))
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
             for b in range(bands)
         ])).alias("bb"),
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -90,14 +112,18 @@ def minhash_lsh_pairs(docs: DataFrame, text_col="text", id_col="doc_id",
     )
 
 
-def simhash(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+def simhash(docs: DataFrame, text_col="text", id_col="doc_id",
+            hash_sql=None) -> DataFrame:
     """64-bit SimHash per doc, entirely in SQL: explode tokens, per-bit
     majority vote via 64 conditional sums expressed as one aggregate over
-    bit positions."""
+    bit positions.  ``hash_sql``: {j}/{s} template (j unused); the
+    portable 60-bit md5 family zeroes bits 60-63 identically on both
+    engines."""
+    tmpl = hash_sql or "xxhash64({s})"
     toks = docs.select(
         F.col(id_col),
         F.explode(F.expr(f"split(lower({text_col}), ' +')")).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
+    ).withColumn("th", F.expr(tmpl.format(j=0, s="tok")))
     # sum(+1/-1) per bit, then pack sign bits
     one = F.lit(1).cast("bigint")
     bit_sums = toks.groupBy(id_col).agg(*[
@@ -113,11 +139,11 @@ def simhash(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
 
 
 def simhash_near_dups(docs: DataFrame, text_col="text", id_col="doc_id",
-                      band_bits=16) -> DataFrame:
+                      band_bits=16, hash_sql=None) -> DataFrame:
     """Near-dup candidates: docs sharing any of the 4 16-bit simhash bands
     (guarantees recall for hamming distance <= 3), then exact hamming
     verification via bit_count(xor)."""
-    sh = simhash(docs, text_col, id_col)
+    sh = simhash(docs, text_col, id_col, hash_sql=hash_sql)
     bands = 64 // band_bits
     mask = F.lit((1 << band_bits) - 1).cast("bigint")
     banded = sh.select(
