@@ -13,23 +13,27 @@ from pyspark.sql import functions as F
 
 
 def test_warp_tiles_all_strategies_identical(spark):
-    """The cell equi-join, broadcast theta-join, and broadcast-map plans
-    must produce bit-identical tiles (same kernel, same inputs)."""
+    """The cell equi-join, broadcast theta-join, broadcast-map and
+    chunk-anchored plans must produce bit-identical tiles (same kernel,
+    same inputs).  'chunks' exercises the scale path: single-chunk
+    windows + owned-rect merge instead of a stitched mosaic."""
     from geowarp_spark.operators.warp_tiles import warp_fixture_to_tiles
     from geowarp_spark.sources.fixtures import build_fixture
 
-    fx = build_fixture("tiny_4326")
-    outs = {}
-    for strat in ("cells", "broadcast", "broadcast_map"):
-        outs[strat] = {(r["z"], r["x"], r["y"]): r["data"] for r in
-                       warp_fixture_to_tiles(spark, fx, zooms=[10], method="near",
-                                             out_size=32, join_strategy=strat).collect()}
-    a = outs["cells"]
-    assert len(a) > 0
-    for strat in ("broadcast", "broadcast_map"):
-        b = outs[strat]
-        assert a.keys() == b.keys(), strat
-        assert all(a[k] == b[k] for k in a), strat
+    for fx_id, method in (("tiny_4326", "near"), ("rgba_webmerc", "median")):
+        fx = build_fixture(fx_id)
+        outs = {}
+        for strat in ("cells", "broadcast", "broadcast_map", "chunks"):
+            outs[strat] = {(r["z"], r["x"], r["y"]): r["data"] for r in
+                           warp_fixture_to_tiles(spark, fx, zooms=[10], method=method,
+                                                 out_size=32, chunk=128,
+                                                 join_strategy=strat).collect()}
+        a = outs["cells"]
+        assert len(a) > 0
+        for strat in ("broadcast", "broadcast_map", "chunks"):
+            b = outs[strat]
+            assert a.keys() == b.keys(), (fx_id, strat)
+            assert all(a[k] == b[k] for k in a), (fx_id, strat)
 
 
 def test_warp_tiles_matches_single_kernel(spark):
