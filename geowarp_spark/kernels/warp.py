@@ -321,7 +321,7 @@ def warp(
         _kernel_bilinear(
             gathered, written, keep_mask, fblock, rb_idx, out_srs_to_in_img,
             out_xmin, out_ymax, out_sample_width, out_sample_height, half_w, half_h,
-            in_width, in_height, primary, nodata,
+            in_width, in_height, primary, nodata, turbo,
         )
     elif method == "vectorize":
         out_block, written = _kernel_vectorize(
@@ -333,6 +333,7 @@ def warp(
             # cutline bbox only when those frames coincide
             cutline_bbox=cutline_bbox if (cutline_srs == in_srs or
                                           (cutline_srs is None and same_srs)) else None,
+            turbo=turbo,
         )
         return _materialize(
             out_block, written, hs, ws, x_scale, y_scale, out_width, out_height,
@@ -344,7 +345,7 @@ def warp(
         _kernel_boxstats(
             gathered, written, keep_mask, fblock, rb_idx, out_srs_to_in_img,
             out_xmin, out_ymax, out_sample_width, out_sample_height,
-            in_width, in_height, primary, nodata, method,
+            in_width, in_height, primary, nodata, method, turbo,
         )
 
     # shared tail for gather-style kernels: skip filter -> process -> insert
@@ -407,6 +408,25 @@ def _kernel_near(gathered, written, keep, fblock, rb_idx, to_img,
     written[:] = keep
 
 
+def _grid_interp(ex, ey, ri, ci, hs, ws):
+    """Bilinear interpolation of coarse-grid samples back to full size."""
+    r_pos = np.interp(np.arange(hs), ri, np.arange(len(ri), dtype=np.float64))
+    c_pos = np.interp(np.arange(ws), ci, np.arange(len(ci), dtype=np.float64))
+    r0 = np.clip(np.floor(r_pos).astype(int), 0, len(ri) - 2)
+    c0 = np.clip(np.floor(c_pos).astype(int), 0, len(ci) - 2)
+    fr = (r_pos - r0)[:, None]
+    fc = (c_pos - c0)[None, :]
+
+    def interp(e):
+        a = e[r0][:, c0]
+        b = e[r0][:, c0 + 1]
+        c = e[r0 + 1][:, c0]
+        d = e[r0 + 1][:, c0 + 1]
+        return a * (1 - fr) * (1 - fc) + b * (1 - fr) * fc + c * fr * (1 - fc) + d * fr * fc
+
+    return interp(ex), interp(ey)
+
+
 def _turbo_inverse(to_img, gx, gy):
     """Turbo approximate transform (R6, geowarp.js:538-547): evaluate the
     exact floored inverse on a coarse grid and bilinearly interpolate, then
@@ -419,30 +439,46 @@ def _turbo_inverse(to_img, gx, gy):
     ex, ey = to_img(gx[sy, sx].reshape(-1), gy[sy, sx].reshape(-1))
     ex = np.floor(ex).reshape(len(ri), len(ci))
     ey = np.floor(ey).reshape(len(ri), len(ci))
-    # bilinear interp over the coarse grid
-    r_pos = np.interp(np.arange(hs), ri, np.arange(len(ri), dtype=np.float64))
-    c_pos = np.interp(np.arange(ws), ci, np.arange(len(ci), dtype=np.float64))
-    r0 = np.clip(np.floor(r_pos).astype(int), 0, len(ri) - 2)
-    c0 = np.clip(np.floor(c_pos).astype(int), 0, len(ci) - 2)
-    fr = (r_pos - r0)[:, None]
-    fc = (c_pos - c0)[None, :]
-    def interp(e):
-        a = e[r0][:, c0]
-        b = e[r0][:, c0 + 1]
-        c = e[r0 + 1][:, c0]
-        d = e[r0 + 1][:, c0 + 1]
-        return a * (1 - fr) * (1 - fc) + b * (1 - fr) * fc + c * fr * (1 - fc) + d * fr * fc
-    return interp(ex), interp(ey)
+    return _grid_interp(ex, ey, ri, ci, hs, ws)
+
+
+def _turbo_fit_axes(fn, xs, ys, step=16):
+    """proj-turbo grid fit over a SEPARABLE rectangular grid (R6): sample
+    the exact transform on a coarse subgrid of the ys x xs lattice and
+    bilinearly interpolate to full resolution.  Serves the bilinear,
+    box-stats and vectorize kernels (the reference turbocharges both
+    forward and inverse and uses them in every kernel, geowarp.js:551-580).
+    Returns (X, Y) arrays of shape (len(ys), len(xs)).  Grids too small to
+    fit fall through to the exact transform."""
+    nr, nc = len(ys), len(xs)
+    if nr < 4 or nc < 4:
+        gx, gy = np.meshgrid(xs, ys)
+        X, Y = fn(gx.reshape(-1), gy.reshape(-1))
+        return (np.asarray(X, dtype=np.float64).reshape(nr, nc),
+                np.asarray(Y, dtype=np.float64).reshape(nr, nc))
+    ri = np.unique(np.r_[np.arange(0, nr, step), nr - 1])
+    ci = np.unique(np.r_[np.arange(0, nc, step), nc - 1])
+    sx, sy = np.meshgrid(np.asarray(xs)[ci], np.asarray(ys)[ri])
+    ex, ey = fn(sx.reshape(-1), sy.reshape(-1))
+    ex = np.asarray(ex, dtype=np.float64).reshape(len(ri), len(ci))
+    ey = np.asarray(ey, dtype=np.float64).reshape(len(ri), len(ci))
+    return _grid_interp(ex, ey, ri, ci, nr, nc)
 
 
 def _kernel_bilinear(gathered, written, keep, fblock, rb_idx, to_img,
                      out_xmin, out_ymax, sw, sh, half_w, half_h,
-                     in_w, in_h, primary, nodata):
+                     in_w, in_h, primary, nodata, turbo=False):
     """bilinear with the reference's invalid-corner fallback tree
     (geowarp.js:741-844)."""
     hs, ws = keep.shape
-    gx, gy = _sample_centers(out_xmin, out_ymax, sw, sh, half_w, half_h, hs, ws)
-    cx, cy = to_img(gx.reshape(-1), gy.reshape(-1))
+    if turbo:
+        xs = out_xmin + np.arange(ws, dtype=np.float64) * sw + half_w
+        ys = out_ymax - np.arange(hs, dtype=np.float64) * sh - half_h
+        cxg, cyg = _turbo_fit_axes(to_img, xs, ys)
+        cx, cy = cxg.reshape(-1), cyg.reshape(-1)
+    else:
+        gx, gy = _sample_centers(out_xmin, out_ymax, sw, sh, half_w, half_h, hs, ws)
+        cx, cy = to_img(gx.reshape(-1), gy.reshape(-1))
     cx = np.asarray(cx, dtype=np.float64)
     cy = np.asarray(cy, dtype=np.float64)
     with np.errstate(invalid="ignore"):
@@ -507,7 +543,8 @@ def _kernel_bilinear(gathered, written, keep, fblock, rb_idx, to_img,
 
 
 def _kernel_boxstats(gathered, written, keep, fblock, rb_idx, to_img,
-                     out_xmin, out_ymax, sw, sh, in_w, in_h, primary, nodata, method):
+                     out_xmin, out_ymax, sw, sh, in_w, in_h, primary, nodata,
+                     method, turbo=False):
     """box-statistic resampling (geowarp.js:845-968, A1-A10)."""
     hs, ws = keep.shape
     rows = np.arange(hs, dtype=np.float64)
@@ -517,16 +554,28 @@ def _kernel_boxstats(gathered, written, keep, fblock, rb_idx, to_img,
     left_x = out_xmin + cols * sw
     right_x = left_x + sw
 
-    # 4 corners of every sample box, transformed in bulk
-    lx = np.broadcast_to(left_x[None, :], (hs, ws)).reshape(-1)
-    rx = np.broadcast_to(right_x[None, :], (hs, ws)).reshape(-1)
-    ty = np.broadcast_to(top_y[:, None], (hs, ws)).reshape(-1)
-    by = np.broadcast_to(bot_y[:, None], (hs, ws)).reshape(-1)
-    cxs = np.concatenate([lx, rx, lx, rx])
-    cys = np.concatenate([by, by, ty, ty])
-    px, py = to_img(cxs, cys)
-    px = np.asarray(px, dtype=np.float64).reshape(4, -1)
-    py = np.asarray(py, dtype=np.float64).reshape(4, -1)
+    if turbo:
+        # the 4 box corners per sample all live on the (hs+1) x (ws+1)
+        # EDGE lattice — one turbo grid fit serves every corner set
+        xs_e = out_xmin + np.arange(ws + 1, dtype=np.float64) * sw
+        ys_e = out_ymax - np.arange(hs + 1, dtype=np.float64) * sh
+        EX, EY = _turbo_fit_axes(to_img, xs_e, ys_e)
+        # corner order matches the exact path: (l,b) (r,b) (l,t) (r,t)
+        px = np.stack([EX[1:, :-1].ravel(), EX[1:, 1:].ravel(),
+                       EX[:-1, :-1].ravel(), EX[:-1, 1:].ravel()])
+        py = np.stack([EY[1:, :-1].ravel(), EY[1:, 1:].ravel(),
+                       EY[:-1, :-1].ravel(), EY[:-1, 1:].ravel()])
+    else:
+        # 4 corners of every sample box, transformed in bulk
+        lx = np.broadcast_to(left_x[None, :], (hs, ws)).reshape(-1)
+        rx = np.broadcast_to(right_x[None, :], (hs, ws)).reshape(-1)
+        ty = np.broadcast_to(top_y[:, None], (hs, ws)).reshape(-1)
+        by = np.broadcast_to(bot_y[:, None], (hs, ws)).reshape(-1)
+        cxs = np.concatenate([lx, rx, lx, rx])
+        cys = np.concatenate([by, by, ty, ty])
+        px, py = to_img(cxs, cys)
+        px = np.asarray(px, dtype=np.float64).reshape(4, -1)
+        py = np.asarray(py, dtype=np.float64).reshape(4, -1)
     ok = np.isfinite(px).all(axis=0) & np.isfinite(py).all(axis=0)  # nan_strategy=throw -> skip pixel
 
     with np.errstate(invalid="ignore"):
@@ -601,7 +650,8 @@ def _kernel_boxstats(gathered, written, keep, fblock, rb_idx, to_img,
 def _kernel_vectorize(fblock, rb_idx, process, should_skip, segments_by_row, keep_mask,
                       in_bbox, out_bbox, out_bbox_in_srs, hs, ws, in_w, in_h,
                       same_srs, inverse, in_img_to_out_srs, gt, cutline, cutline_strategy,
-                      in_xmin, in_ymin, in_xmax, in_ymax, nodata, cutline_bbox=None):
+                      in_xmin, in_ymin, in_xmax, in_ymax, nodata, cutline_bbox=None,
+                      turbo=False):
     """forward-paint "vectorize" kernel (geowarp.js:613-703, J2):
     each input pixel's quad is reprojected into output space and
     rasterized onto the output sample grid it overlaps; later pixels
@@ -647,10 +697,15 @@ def _kernel_vectorize(fblock, rb_idx, process, should_skip, segments_by_row, kee
     # bulk-transform the (r1-r0+2) x (c1-c0+2) grid of pixel corners once
     gc = np.arange(c0, c1 + 2, dtype=np.float64)
     gr = np.arange(r0, r1 + 2, dtype=np.float64)
-    mc, mr = np.meshgrid(gc, gr)
-    qx, qy = in_img_to_out_srs(mc.reshape(-1), mr.reshape(-1))
-    qx = np.asarray(qx, dtype=np.float64).reshape(mr.shape)
-    qy = np.asarray(qy, dtype=np.float64).reshape(mr.shape)
+    if turbo:
+        # forward turbo (geowarp.js:551-566): grid-fit the forward
+        # transform over the input pixel-corner lattice
+        qx, qy = _turbo_fit_axes(in_img_to_out_srs, gc, gr)
+    else:
+        mc, mr = np.meshgrid(gc, gr)
+        qx, qy = in_img_to_out_srs(mc.reshape(-1), mr.reshape(-1))
+        qx = np.asarray(qx, dtype=np.float64).reshape(len(gr), len(gc))
+        qy = np.asarray(qy, dtype=np.float64).reshape(len(gr), len(gc))
 
     # process all candidate pixels at once
     nrows = r1 - r0 + 1

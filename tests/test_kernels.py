@@ -367,3 +367,43 @@ def test_turbo_within_one_source_pixel():
     r_turbo, c_turbo = r2["block"][0] // 16, r2["block"][0] % 16
     assert np.abs(r_exact - r_turbo).max() <= 1
     assert np.abs(c_exact - c_turbo).max() <= 1
+
+
+def test_turbo_all_kernels_parity():
+    """R6 parity: turbo is honored by bilinear, box-stats and vectorize
+    kernels too (the reference turbocharges forward AND inverse and uses
+    them in every kernel, geowarp.js:551-580).  For an affine 3857->3857
+    mapping the grid fit is exact up to float rounding, so turbo must
+    reproduce the exact path within <= 1 source pixel of drift."""
+    d = grid(1, 64, 64)
+    common = dict(in_data=d, in_bbox=[0, 0, 64, 64], in_srs=3857, out_srs=3857,
+                  in_height=64, in_width=64, out_width=96, out_height=96)
+    for method in ("bilinear", "median", "max"):
+        r_exact = warp(method=method, **common)["block"][0]
+        r_turbo = warp(method=method, turbo=True, **common)["block"][0]
+        # values are row*64+col: any drift beyond a neighboring source
+        # pixel changes the value by > 65
+        assert np.nanmax(np.abs(r_exact - r_turbo)) <= 65.0, method
+    # vectorize (upsample region so the cost rule picks it)
+    small = grid(1, 32, 32)
+    vcommon = dict(in_data=small, in_bbox=[0, 0, 32, 32], in_srs=3857,
+                   out_srs=3857, in_height=32, in_width=32,
+                   out_width=512, out_height=512, method="vectorize")
+    v_exact = warp(**vcommon)["block"][0]
+    v_turbo = warp(turbo=True, **vcommon)["block"][0]
+    assert np.nanmax(np.abs(v_exact - v_turbo)) <= 33.0
+
+
+def test_turbo_nonlinear_projection_small_drift():
+    """Turbo on a real reprojection (3857 tile over a 4326 source):
+    sampled source indices drift by at most 1 px vs exact."""
+    d = grid(1, 64, 64)
+    common = dict(in_data=d, in_bbox=[10.0, 45.0, 11.0, 46.0], in_srs=4326,
+                  out_srs=3857, in_height=64, in_width=64,
+                  out_width=64, out_height=64, method="median")
+    r_exact = warp(**common)["block"][0]
+    r_turbo = warp(turbo=True, **common)["block"][0]
+    re_, ce = r_exact // 64, r_exact % 64
+    rt, ct = r_turbo // 64, r_turbo % 64
+    assert np.nanmax(np.abs(re_ - rt)) <= 1
+    assert np.nanmax(np.abs(ce - ct)) <= 1
