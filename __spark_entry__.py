@@ -803,6 +803,118 @@ def _lsh_oracle_sql(k=10, n_planes=8) -> str:
     """
 
 
+def q_pip_polygon_op(spark, sf_dir):
+    """pip_join_polygon OPERATOR (half-plane aggregate expr, J1) against
+    the same triangle the inline pip_triangle SQL tests — verifies the
+    operator's edge convention, not just the hand-written predicate."""
+    from geowarp_spark.operators.spatial import pip_join_polygon
+
+    pts = _docs_pts(spark, sf_dir)
+    polys = spark.createDataFrame(
+        [(1, [0.0, 10.0, -10.0], [30.0, 50.0, 50.0])], ["poly_id", "xs", "ys"])
+    joined = pip_join_polygon(pts, polys)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_inside"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """embedding_near_dups operator: LSH-bucketed candidate pairs + exact
+    cosine verification; deterministic planes, so DuckDB replays the
+    bucketing + threshold exactly."""
+    from geowarp_spark.operators.dedup import embedding_near_dups
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    out = embedding_near_dups(emb, threshold=0.9)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cos", 4).alias("cos4"),
+    )
+
+
+def _embedding_neardup_oracle(threshold=0.9, n_planes=12):
+    bucket = _lsh_bucket_duck("v", n_planes)
+    cos = ("list_dot_product(l.v, r.v) / nullif(sqrt(list_dot_product(l.v, l.v)) * "
+           "sqrt(list_dot_product(r.v, r.v)), 0.0)")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        eb AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+        SELECT CAST(l.vec_id AS BIGINT) AS id_a, CAST(r.vec_id AS BIGINT) AS id_b,
+               round({cos}, 4) AS cos4
+        FROM eb l JOIN eb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE {cos} >= {threshold}
+    """
+
+
+def q_ivf(spark, sf_dir):
+    """ivf_topk operator (coarse-centroid ANN): deterministic centroid
+    assignment, replayed exactly by DuckDB (approximate results — may
+    return < k for starved probes, by design; the oracle replicates)."""
+    from geowarp_spark.operators.similarity import ivf_topk
+
+    _views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    return ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("rank").cast("long").alias("rnk"),
+    )
+
+
+def _ivf_oracle_sql(k=10, planes=4, n_probe=4):
+    bucket = _lsh_bucket_duck("v", planes)
+    flips = "".join(f", xor(qbucket, {1 << p})" for p in range(min(planes, n_probe - 1)))
+    cos = ("list_dot_product(v, qv) / nullif(sqrt(list_dot_product(v, v)) * "
+           "sqrt(list_dot_product(qv, qv)), 0.0)")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        eb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+              FROM eb WHERE vec_id IN (0, 1, 2)),
+        probes AS (SELECT query_id, qv, unnest([qbucket{flips}]) AS bucket FROM q),
+        cand AS (SELECT DISTINCT query_id, e2.vec_id, qv, v
+                 FROM eb e2 JOIN probes p ON e2.bucket = p.bucket),
+        candf AS (SELECT query_id, vec_id, {cos} AS cos FROM cand
+                  WHERE {cos} IS NOT NULL AND NOT isnan({cos}))
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(rn AS BIGINT) AS rnk
+        FROM (SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM candf) t
+        WHERE rn <= {k}
+    """
+
+
+def q_frame_sample(spark, sf_dir):
+    """frame-sampling plumbing: JVM explode of frame indexes (every 5th)."""
+    from geowarp_spark.operators.multimodal import attach_media, frame_sample
+
+    _views(spark, sf_dir)
+    media = attach_media(spark.table("documents"))
+    fs = frame_sample(media, every_n=5)
+    return fs.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+_FRAME_SAMPLE_ORACLE = """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           ELSE 'video' END AS media_type,
+           CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END) AS BIGINT)
+               AS n_frames_sampled,
+           count(DISTINCT doc_id) AS n_docs
+    FROM documents GROUP BY 1
+"""
+
+
 def q_salted_cells(spark, sf_dir):  # skew-safe two-stage agg == plain agg
     from geowarp_spark.operators.spatial import salted_cell_counts
 
@@ -863,6 +975,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "extract_invariant": q_extract_invariant,
         "salted_cells": q_salted_cells,
+        "pip_polygon_op": q_pip_polygon_op,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf": q_ivf,
+        "frame_sample": q_frame_sample,
         "rasterize_grid": q_rasterize_grid,
         # rows-only (no SQL oracle): numpy warp kernels / Arrow pipelines
         "warp_tiles": q_warp_tiles,
@@ -1091,6 +1207,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "similarity_lsh": _lsh_oracle_sql(k=10, n_planes=8),
         "multimodal": _MULTIMODAL_ORACLE,
+        "pip_polygon_op": _PIP_TRIANGLE_SQL,
+        "embedding_neardup": _embedding_neardup_oracle(),
+        "ivf": _ivf_oracle_sql(),
+        "frame_sample": _FRAME_SAMPLE_ORACLE,
         "minhash_full": _minhash_full_oracle(),
         "minhash_pairs_full": _minhash_pairs_full_oracle(),
         "simhash_full": _simhash_full_oracle(),

@@ -75,7 +75,7 @@ def attach_media(docs: DataFrame, id_col="doc_id") -> DataFrame:
                 rows["media_type"].append(kind)
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["n_frames"].append(1 if kind != "video" else 1)
+                rows["n_frames"].append(8 if kind == "video" else 1)
                 rows["payload"].append(payload)
             yield pd.DataFrame(rows)
 
