@@ -827,7 +827,7 @@ def q_embedding_neardup(spark, sf_dir):
 
     _views(spark, sf_dir)
     emb = spark.table("embeddings")
-    out = embedding_near_dups(emb, threshold=0.9)
+    out = embedding_near_dups(emb, threshold=0.25)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -835,7 +835,7 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
-def _embedding_neardup_oracle(threshold=0.9, n_planes=12):
+def _embedding_neardup_oracle(threshold=0.25, n_planes=12):
     bucket = _lsh_bucket_duck("v", n_planes)
     cos = ("list_dot_product(l.v, r.v) / nullif(sqrt(list_dot_product(l.v, l.v)) * "
            "sqrt(list_dot_product(r.v, r.v)), 0.0)")

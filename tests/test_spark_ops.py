@@ -391,3 +391,71 @@ def test_pip_pushdown_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema" in plan
     assert "n_chars" in plan and "text" not in plan.split("ReadSchema")[1][:200]
+
+
+# ------------------------------------------------------------ plan shapes
+# These lock the 100TB-posture claims into Catalyst plans: small sides are
+# broadcast, candidate generation never degenerates to a cartesian
+# product, and scans prune to referenced columns.
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_cells_candidates_broadcast_no_cartesian(spark, sf_dir):
+    from geowarp_spark.operators.spatial import _knn_cells_pass
+    import __spark_entry__ as em
+
+    pts = em._docs_pts(spark, sf_dir)
+    q = em._knn_queries(spark)
+    plan = _plan(_knn_cells_pass(pts, q, 5, 4, 2, "lon", "lat", "qlon", "qlat",
+                                 "doc_id", "query_id"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_topk_no_cartesian_for_candidates(spark, sf_dir):
+    """The LSH candidate join is an equi-join on bucket (broadcast of the
+    probe side); only the starved-query fallback may cross-join, and then
+    only against the contractually tiny starved set."""
+    from geowarp_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    plan = _plan(lsh_topk(emb, q, k=5, n_planes=2, guarantee_k=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_warp_chunks_pair_discovery_is_payload_free(spark):
+    """The chunk-anchored plan's pair-discovery join must not reference
+    the chunk payload column — only the final single exchange carries it."""
+    from geowarp_spark.operators.warp_tiles import (
+        chunks_to_df, tiles_df, warp_tiles)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("tiny_4326")
+    chunks = chunks_to_df(spark, fx, chunk=128, halo=8)
+    tiles = tiles_df(spark, [10], bbox_4326=[9.9, 44.9, 11.1, 46.1])
+    out = warp_tiles(tiles, chunks, method="near", out_size=32,
+                     join_strategy="chunks", chunk=128, halo=8)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    # the cell pair-discovery join runs on projected metadata: the explode
+    # stages (cover-cell generate) must not carry the payload column
+    import re
+    for m in re.finditer(r"Generate explode[^\n]*", plan):
+        assert "data#" not in m.group(0)
+    # and it still computes (sanity)
+    assert out.count() > 0
+
+
+def test_dedup_band_join_is_equi(spark, sf_dir):
+    from geowarp_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    plan = _plan(minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_k=3,
+                                   jaccard_threshold=0.2))
+    assert "CartesianProduct" not in plan
