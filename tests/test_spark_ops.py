@@ -459,3 +459,51 @@ def test_dedup_band_join_is_equi(spark, sf_dir):
     plan = _plan(minhash_lsh_pairs(docs, num_hashes=8, bands=4, shingle_k=3,
                                    jaccard_threshold=0.2))
     assert "CartesianProduct" not in plan
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer: state survives micro-batches
+    and the final per-user counts equal the batch gaps-and-islands query
+    when ingest is time-ordered (events split into 2 time-halves, one
+    file per micro-batch)."""
+    from geowarp_spark.streaming.stateful import sessionize_stateful
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "ts", "event_id")
+    all_ts = sorted(r["ts"] for r in events.select("ts").collect())
+    mid = all_ts[len(all_ts) // 2]
+    src = str(tmp_path / "src")
+    events.filter(F.col("ts") <= F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/b1")
+    events.filter(F.col("ts") > F.lit(mid)).coalesce(1) \
+        .write.parquet(src + "/b2")
+
+    stream = spark.readStream.schema("user_id bigint, ts timestamp, event_id bigint") \
+        .option("maxFilesPerTrigger", 1) \
+        .parquet(src + "/b*")
+    out = sessionize_stateful(stream, gap_minutes=30)
+    # update-mode sink: collect every per-batch emission via foreachBatch
+    # (the parquet sink is append-only)
+    sunk = []
+
+    def sink(batch_df, batch_id):
+        sunk.extend(batch_df.collect())
+
+    q = (out.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got_rows = sunk
+    # keep the LATEST emission per user (largest n_events)
+    latest = {}
+    for r in got_rows:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[1]:
+            latest[r["user_id"]] = (r["n_sessions"], r["n_events"])
+
+    import __spark_entry__ as em
+    batch = {r["user_id"]: (r["n_sessions"], r["n_events"])
+             for r in em.q_sessionize(spark, sf_dir).collect()}
+    assert latest == batch
