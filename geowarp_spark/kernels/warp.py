@@ -367,6 +367,7 @@ def warp(
         out_layout, out_dtype, fill_out, out_bands, read_bands,
         out_pixel_height, out_pixel_width, out_sample_height, out_sample_width,
         out_pixel_depth, out_array_types, insert_pixel, insert_sample,
+        insert_null_strategy,
     )
 
 
@@ -879,7 +880,7 @@ def _materialize(out_block, written, hs, ws, x_scale, y_scale, out_width, out_he
                  out_layout, out_dtype, fill_out, out_bands, read_bands,
                  out_pixel_height, out_pixel_width, out_sample_height, out_sample_width,
                  out_pixel_depth, out_array_types=None, insert_pixel=None,
-                 insert_sample=None):
+                 insert_sample=None, insert_null_strategy="skip"):
     """Sample-grid -> full output grid with footprint replication (L4,
     geowarp.js:506-521 insert_sample + scalePixel), fill, dtype, layout.
 
@@ -921,11 +922,19 @@ def _materialize(out_block, written, hs, ws, x_scale, y_scale, out_width, out_he
         sr, sc = np.nonzero(written)
         for bi in range(n_out):
             v = out_block[bi, sr, sc]
+            # P5 insert_null_strategy (geowarp.js:152,514-519): 'skip'
+            # never hands null samples to the pluggable sink; 'insert'
+            # forwards them (as NaN) so the sink decides
+            if insert_null_strategy == "skip":
+                keep_s = np.isfinite(v)
+                bsr, bsc, bv = sr[keep_s], sc[keep_s], v[keep_s]
+            else:
+                bsr, bsc, bv = sr, sc, v
             if band_dtypes:
-                v = _cast_band(v, band_dtypes[bi])
+                bv = _cast_band(bv, band_dtypes[bi])
             elif out_dtype is not None:
-                v = _cast_band(v, out_dtype)
-            insert_sample(bi, sr, sc, v)
+                bv = _cast_band(bv, out_dtype)
+            insert_sample(bi, bsr, bsc, bv)
 
     data = np.where(wfull[None], full, fill_out)
     if band_dtypes is not None:

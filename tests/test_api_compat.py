@@ -86,3 +86,27 @@ def test_insert_pixel_and_sample_sinks():
     np.testing.assert_array_equal(grid, r["block"][0])
     srows, scols, svals = seen_samp[0]
     assert len(srows) == 4 and svals.dtype == np.uint8
+
+
+def test_insert_null_strategy_controls_sink_visibility():
+    """P5 (geowarp.js:152,514-519): 'skip' never hands null samples to the
+    pluggable sink; 'insert' forwards them as NaN."""
+    data = [np.array([[10, 20], [30, 40]], dtype=np.uint8)]
+    calls = {}
+
+    def make_sink(name):
+        def sink(band, rows, cols, values):
+            calls[name] = len(rows)
+        return sink
+
+    common = dict(
+        in_data=data, in_bbox=[0, 0, 2, 2], in_srs=3857, out_srs=3857,
+        in_width=2, in_height=2, out_width=2, out_height=2, method="near",
+        in_no_data=40,  # one of the 4 samples is no-data -> null
+    )
+    geowarp(insert_sample=make_sink("skip"),
+            insert_null_strategy="skip", **common)
+    geowarp(insert_sample=make_sink("insert"),
+            insert_null_strategy="insert", **common)
+    assert calls["skip"] == 3      # the null sample is withheld
+    assert calls["insert"] == 4    # ... or forwarded, per strategy
