@@ -518,6 +518,50 @@ def _simhash_pairs_full_oracle():
     """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup cluster assignment: connected components (min-label
+    propagation) over simhash near-dup pairs with hamming <= 3 —
+    component id = min doc_id of the cluster.  The oracle recomputes the
+    transitive closure with a DuckDB recursive CTE over the same edges."""
+    from geowarp_spark.operators.dedup import (
+        PORTABLE_HASH_SQL, connected_components, simhash_near_dups)
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = simhash_near_dups(docs, hash_sql=PORTABLE_HASH_SQL).filter(
+        F.col("hamming") <= 3)
+    cc = connected_components(pairs, all_nodes=docs.select("doc_id"))
+    return cc.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.col("component").cast("long").alias("component"))
+
+
+def _dedup_clusters_oracle():
+    return _simhash_full_ctes() + """,
+        banded AS (SELECT doc_id, simhash, b.band,
+                          (simhash >> (b.band * 16)) & 65535 AS bh
+                   FROM packed CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+        edges0 AS (SELECT DISTINCT a.doc_id AS src, b2.doc_id AS dst
+                   FROM banded a JOIN banded b2
+                     ON a.band = b2.band AND a.bh = b2.bh
+                        AND a.doc_id < b2.doc_id),
+        pe AS (SELECT p.src, p.dst FROM edges0 p
+               JOIN packed x ON x.doc_id = p.src
+               JOIN packed y ON y.doc_id = p.dst
+               WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+        edges AS (SELECT src, dst FROM pe
+                  UNION SELECT dst, src FROM pe),
+        rec AS (
+          WITH RECURSIVE reach(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+          ) SELECT node, min(label) AS component FROM reach GROUP BY node)
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(component AS BIGINT) AS component
+        FROM rec
+    """
+
+
 def q_ngram_jaccard(spark, sf_dir):  # dedup: token-set jaccard pairs
     _views(spark, sf_dir)
     return spark.sql("""
@@ -965,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_full": q_simhash_full,
         "simhash_pairs_full": q_simhash_pairs_full,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -1215,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_full": _minhash_pairs_full_oracle(),
         "simhash_full": _simhash_full_oracle(),
         "simhash_pairs_full": _simhash_pairs_full_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
         # warp engine: pinned expected tables from the independent serial
         # full-raster path (tools/pin_expected.py) — DuckDB replays them
         "warp_tiles": f"""

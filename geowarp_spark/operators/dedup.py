@@ -207,6 +207,60 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col="text", id_col="doc_id",
     )
 
 
+def connected_components(pairs: DataFrame, all_nodes: DataFrame = None,
+                         id_a="id_a", id_b="id_b", node_col="doc_id",
+                         max_iter=50) -> DataFrame:
+    """Dedup CLUSTER assignment: connected components over near-dup pairs,
+    component id = min node id in the component (canonical, engine-
+    independent — the DuckDB oracle recomputes it with a recursive CTE).
+
+    Algorithm: iterative min-label propagation.  labels(node) starts as
+    node; each round every node takes the min of its own label and its
+    neighbors' labels; stop when no label changes.  Each round is one
+    shuffle on node id (join edges x labels + groupBy) — O(rounds x |E|)
+    traffic with rounds bounded by the component diameter, which for
+    near-dup graphs is small (dup clusters are dense clumps, not paths).
+    Every few rounds the lineage is truncated via localCheckpoint so the
+    plan doesn't grow unboundedly.  For adversarial long-chain graphs,
+    switch to the large-star/small-star variant (same join shapes,
+    O(log n) rounds) — not needed for dedup workloads.
+
+    ``pairs``: (id_a, id_b) undirected edges.  ``all_nodes``: optional
+    (node_col) DataFrame; nodes without edges become singleton components.
+    Returns (node_col, component).
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    if all_nodes is not None:
+        nodes = nodes.unionByName(
+            all_nodes.select(F.col(node_col).alias("node"))).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node").agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(node_col),
+                         F.col("label").alias("component"))
+
+
 def embedding_near_dups(emb: DataFrame, threshold=0.95, id_col="vec_id",
                         vec_col="embedding") -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucketing (see

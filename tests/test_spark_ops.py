@@ -507,3 +507,17 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     batch = {r["user_id"]: (r["n_sessions"], r["n_events"])
              for r in em.q_sessionize(spark, sf_dir).collect()}
     assert latest == batch
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """min-label propagation: a 4-node chain collapses to one component
+    (requires > 1 propagation round), isolated nodes stay singletons."""
+    from geowarp_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]],
+                                  ["doc_id"])
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(pairs, all_nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
