@@ -749,6 +749,31 @@ def q_warp_boxstats(spark, sf_dir):  # box-stat resampling on tiles (same oracle
     return _warp_tile_stats(out)
 
 
+def q_warp_bilinear(spark, sf_dir):  # J3 bilinear kernel under the same oracle
+    from geowarp_spark.operators.warp_tiles import warp_fixture_to_tiles
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgba_webmerc")
+    out = warp_fixture_to_tiles(spark, fx, zooms=[9], method="bilinear",
+                                out_size=64, join_strategy="broadcast_map")
+    return _warp_tile_stats(out)
+
+
+def q_warp_vectorize(spark, sf_dir):
+    """J2: the forward-paint vectorize kernel (near-vectorize cost rule
+    picks it because z14 out pixels are << source pixels), distributed
+    over a sub-bbox tile set, vs the pinned serial expectation."""
+    from geowarp_spark.operators.warp_tiles import (
+        fixture_chunk_records, tiles_df, warp_tiles_broadcast)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgb_smallscale")
+    tiles = tiles_df(spark, [14], bbox_4326=[80.0, 7.0, 80.12, 7.12])
+    recs = fixture_chunk_records(fx, chunk=256, halo=8)
+    out = warp_tiles_broadcast(tiles, recs, method="near-vectorize", out_size=256)
+    return _warp_tile_stats(out)
+
+
 def q_multimodal(spark, sf_dir):
     """Multimodal pipeline with REAL decode: payloads are actual PNG /
     raw-PCM bytes (stdlib zlib container), extract_features decodes them
@@ -1028,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle): numpy warp kernels / Arrow pipelines
         "warp_tiles": q_warp_tiles,
         "warp_boxstats": q_warp_boxstats,
+        "warp_bilinear": q_warp_bilinear,
+        "warp_vectorize": q_warp_vectorize,
         "multimodal": q_multimodal,
         "similarity_lsh": q_similarity_lsh,
     }
@@ -1270,5 +1297,13 @@ def oracle_sql() -> dict[str, str]:
         "warp_boxstats": f"""
             SELECT z, x, y, method, bands, valid_px, payload_crc
             FROM read_parquet('{_FIXTURES_DIR}/expected_warp_boxstats.parquet')
+        """,
+        "warp_bilinear": f"""
+            SELECT z, x, y, method, bands, valid_px, payload_crc
+            FROM read_parquet('{_FIXTURES_DIR}/expected_warp_bilinear.parquet')
+        """,
+        "warp_vectorize": f"""
+            SELECT z, x, y, method, bands, valid_px, payload_crc
+            FROM read_parquet('{_FIXTURES_DIR}/expected_warp_vectorize.parquet')
         """,
     }

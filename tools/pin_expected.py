@@ -45,12 +45,20 @@ from geowarp_spark.sources.fixtures import build_fixture  # noqa: E402
 
 FIXTURES_DIR = os.path.join(REPO, "fixtures")
 
-# must mirror the query configs in __spark_entry__.q_warp_tiles / q_warp_boxstats
+# must mirror the query configs in __spark_entry__.q_warp_* queries
 CONFIGS = {
     "expected_warp_tiles": dict(
         raster_id="rgb_smallscale", zooms=[9, 10], method="near", out_size=128),
     "expected_warp_boxstats": dict(
         raster_id="rgba_webmerc", zooms=[8, 9], method="median", out_size=64),
+    "expected_warp_bilinear": dict(
+        raster_id="rgba_webmerc", zooms=[9], method="bilinear", out_size=64),
+    # vectorize needs out px << in px (the near-vectorize cost rule,
+    # geowarp.js:597): z14 tiles over the small-scale raster, restricted
+    # to a sub-bbox so the tile count stays oracle-sized
+    "expected_warp_vectorize": dict(
+        raster_id="rgb_smallscale", zooms=[14], method="near-vectorize",
+        out_size=256, bbox=[80.0, 7.0, 80.12, 7.12]),
 }
 
 
@@ -73,11 +81,12 @@ def _tile_bbox_4326_jvm(x, y, z):
     return [lon_w, lat_s, lon_e, lat_n]
 
 
-def serial_expected(raster_id, zooms, method, out_size, out_srs=3857):
+def serial_expected(raster_id, zooms, method, out_size, out_srs=3857,
+                    bbox=None):
     fx = build_fixture(raster_id)
     inv = transformer(fx["srs"], 4326)
-    bb4326 = reproject_bbox(fx["bbox"], inv.transform, density=16,
-                            nan_strategy="skip")
+    bb4326 = bbox if bbox is not None else reproject_bbox(
+        fx["bbox"], inv.transform, density=16, nan_strategy="skip")
     # tile membership uses the same chunk-bbox-hit rule as the engine, but
     # the WARP below uses the full raster — an independent assembly path
     recs = fixture_chunk_records(fx, chunk=256, halo=8)
@@ -138,7 +147,7 @@ def main():
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     for name, cfg in CONFIGS.items():
         rows = serial_expected(cfg["raster_id"], cfg["zooms"], cfg["method"],
-                               cfg["out_size"])
+                               cfg["out_size"], bbox=cfg.get("bbox"))
         table = pa.table({
             "z": pa.array([r["z"] for r in rows], pa.int64()),
             "x": pa.array([r["x"] for r in rows], pa.int64()),
@@ -153,7 +162,7 @@ def main():
         print(f"{name}: {len(rows)} tiles -> {path}")
         # idempotence: a second serial run must produce identical rows
         again = serial_expected(cfg["raster_id"], cfg["zooms"], cfg["method"],
-                                cfg["out_size"])
+                                cfg["out_size"], bbox=cfg.get("bbox"))
         assert again == rows, f"{name}: serial run not deterministic!"
 
 
