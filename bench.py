@@ -1,14 +1,23 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
+Protocol (VERDICT r2 'wrong' #1): the host's throughput drifts 2-4x on a
+minutes scale, so a single run per query is noise — this harness runs
+N_TRIALS (default 3) INTERLEAVED trials (trial loop outside the query
+loop, so drift hits all queries alike) and reports the MIN per query,
+the same discipline bench/scaling.py uses.  All raw walls are recorded
+in the JSON so regressions can be attributed to added work vs drift.
+
 Prints ONE JSON line:
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+  {"metric": "...", "value": <sum of per-query mins>, "unit": "sec",
+   "queries": {name: min_sec, ...}, "raw": {name: [sec, ...]},
+   "trials": N, "sf": ..., "throughput": {...}}
 
 The headline set covers the north-rule pipeline stages: geotag + cell
 encode + PIP join (pages_pipeline), kNN join, cell rollup, dedup
-(minhash), text quality, ANN similarity, box-stat warp of a raster to a
-tile pyramid, and the salted skew-safe aggregation.
+(minhash/simhash), text quality, ANN similarity, box-stat warp of a
+raster to a tile pyramid (broadcast AND chunk-anchored plans), and the
+salted skew-safe aggregation.
 """
 
 from __future__ import annotations
@@ -20,21 +29,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+HEADLINE = [
+    "pip_grid", "knn_cells", "cell_rollup", "salted_cells",
+    "minhash", "simhash", "quality", "lang_id",
+    "similarity_bruteforce", "similarity_lsh",
+    "agg_minmax", "mode_family", "events_window",
+    "warp_tiles", "warp_boxstats", "warp_tiles_chunks",
+]
 
-def run_once(spark, sf_dir):
-    import __spark_entry__ as em
 
-    qs = em.queries()
-    headline = [
-        "pip_grid", "knn_cells", "cell_rollup", "salted_cells",
-        "minhash", "simhash", "quality", "lang_id",
-        "similarity_bruteforce", "similarity_lsh",
-        "agg_minmax", "mode_family", "events_window",
-        "warp_tiles", "warp_boxstats",
-    ]
+def run_trial(spark, sf_dir, qs):
     times = {}
     counts = {}
-    for name in headline:
+    for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
@@ -46,6 +53,7 @@ def run_once(spark, sf_dir):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     from geowarp_spark.session import get_spark
 
     spark = get_spark(app_name="geowarp-bench", master=f"local[{cpus}]")
@@ -54,22 +62,31 @@ def main():
     # warm-up (JIT, Arrow init, parquet footer cache) — discarded
     import __spark_entry__ as em
 
-    em.queries()["agg_minmax"](spark, sf_dir).count()
+    qs = em.queries()
+    qs["agg_minmax"](spark, sf_dir).count()
 
-    times, counts = run_once(spark, sf_dir)
-    total = round(sum(times.values()), 3)
+    raw: dict[str, list] = {name: [] for name in HEADLINE}
+    counts = {}
+    for _ in range(n_trials):
+        times, counts = run_trial(spark, sf_dir, qs)
+        for name, sec in times.items():
+            raw[name].append(sec)
+    best = {name: min(walls) for name, walls in raw.items()}
+    total = round(sum(best.values()), 3)
 
     # joined-rows/sec + tiles/sec for the north-rule metric
     lineitem_n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     tiles_n = counts.get("warp_tiles", 0) + counts.get("warp_boxstats", 0)
-    join_sec = times["pip_grid"] + times["knn_cells"] + times["cell_rollup"] + times["salted_cells"]
-    warp_sec = times["warp_tiles"] + times["warp_boxstats"]
+    join_sec = best["pip_grid"] + best["knn_cells"] + best["cell_rollup"] + best["salted_cells"]
+    warp_sec = best["warp_tiles"] + best["warp_boxstats"]
     out = {
-        "metric": "headline suite wall time",
+        "metric": "headline suite wall time (min of interleaved trials)",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": best,
+        "raw": raw,
+        "trials": n_trials,
         "sf": sf_dir,
         "cpus": int(cpus),
         "rows": {"lineitem": lineitem_n, "documents": docs_n},

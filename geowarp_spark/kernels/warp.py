@@ -340,6 +340,7 @@ def warp(
             out_layout, out_dtype, fill_out, out_bands, read_bands,
             out_pixel_height, out_pixel_width, out_sample_height, out_sample_width,
             out_pixel_depth, out_array_types, insert_pixel, insert_sample,
+            insert_null_strategy,
         )
     else:
         _kernel_boxstats(

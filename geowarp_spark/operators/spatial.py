@@ -115,29 +115,45 @@ def knn_join(points: DataFrame, queries: DataFrame, k: int,
     return _topk_two_phase(cand, k, query_id, point_id)
 
 
-def _knn_cells_pass(points, queries, k, z, ring, lon, lat, qlon, qlat,
-                    point_id, query_id):
-    """One cell-disk candidate pass at a fixed ring (see knn_join_cells)."""
+def _disk_cells_sql(qlon, qlat, z, ring):
+    """Cell ids of the Chebyshev disk of radius ``ring`` around the
+    query's cell, as a Spark SQL array expression.  Lon wraps (pmod),
+    lat clamps to the poles — matching cell_sql_expr's point encoding."""
     n = 1 << z
-    pts = points.withColumn("cell", F.expr(cell_sql_expr(lon, lat, z)))
-    # explode each query's (2*ring+1)^2 cell disk — JVM sequence math
     zp = z << 58
     qx = f"CAST(least(greatest(floor(({qlon} + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
     qy = f"CAST(least(greatest(floor((90.0 - {qlat}) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
-    disk = (
-        f"flatten(transform(sequence(-{ring}, {ring}), dx -> "
+    return (
+        f"array_distinct(flatten(transform(sequence(-{ring}, {ring}), dx -> "
         f"transform(sequence(-{ring}, {ring}), dy -> "
         f"{zp}L + pmod({qx} + dx, {n}) * {1 << 29}L + "
-        f"least(greatest({qy} + dy, 0), {n - 1}))))"
+        f"least(greatest({qy} + dy, 0), {n - 1})))))"
     )
-    q = queries.withColumn("cell", F.explode(F.array_distinct(F.expr(disk))))
+
+
+def _knn_cells_pass(points, queries, k, z, ring, lon, lat, qlon, qlat,
+                    point_id, query_id, exclude_ring=None, carried=None):
+    """One cell-disk candidate pass.  With ``exclude_ring`` set, only the
+    ANNULUS disk(ring) \\ disk(exclude_ring) is probed (array_except also
+    removes clamp-collapsed duplicates near the poles), and ``carried``
+    (the previous pass's top-k survivors, <= k rows per query) re-enters
+    the ranking — the true top-k of the union disk is always contained in
+    (top-k of the inner disk) ∪ (annulus candidates)."""
+    pts = points.withColumn("cell", F.expr(cell_sql_expr(lon, lat, z)))
+    disk = _disk_cells_sql(qlon, qlat, z, ring)
+    if exclude_ring is not None:
+        disk = f"array_except({disk}, {_disk_cells_sql(qlon, qlat, z, exclude_ring)})"
+    q = queries.withColumn("cell", F.explode(F.expr(disk)))
     d2 = (
         (F.col(lon) - F.col(qlon)) * (F.col(lon) - F.col(qlon))
         + (F.col(lat) - F.col(qlat)) * (F.col(lat) - F.col(qlat))
     ).alias("dist2")
-    # no dedup needed: a point lives in exactly one cell and the disk
-    # cells are array_distinct, so each (query, point) matches at most once
+    # no dedup needed: a point lives in exactly one cell, the disk cells
+    # are distinct, and annulus cells are disjoint from all previously
+    # probed cells — each (query, point) enters the ranking at most once
     cand = pts.join(F.broadcast(q), "cell").select(query_id, point_id, d2)
+    if carried is not None:
+        cand = cand.unionByName(carried.select(query_id, point_id, "dist2"))
     return _topk_two_phase(cand, k, query_id, point_id)
 
 
@@ -145,9 +161,10 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
                    ring: int = 1, lon="lon", lat="lat", qlon="qlon", qlat="qlat",
                    point_id="doc_id", query_id="query_id") -> DataFrame:
     """Scale path for kNN: candidate gather via cell-disk equi-join, then
-    exact rank refinement, with RING WIDENING so results are exact even
-    for queries in sparse regions.  This is the H3 grid_disk pattern
-    (SURVEY J5) — candidates shuffle on cell id, never a full cross join.
+    exact rank refinement, with INCREMENTAL ring widening so results are
+    exact even for queries in sparse regions.  This is the H3 grid_disk
+    pattern (SURVEY J5) — candidates shuffle on cell id, never a full
+    cross join.
 
     Exactness criterion per query: a disk of Chebyshev radius ``ring``
     at zoom ``z`` is guaranteed to contain every point within euclidean
@@ -155,49 +172,67 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     point within that distance crosses at most ``ring`` lat and lon cell
     boundaries).  A query is settled when it has >= k candidates AND its
     k-th distance is strictly inside that guaranteed radius; otherwise
-    the ring doubles and only the unsettled queries re-run.  A disk with
-    ``2*ring+1 >= 2^z`` covers the whole grid, so termination is
-    guaranteed and that final pass is exact by construction.
+    the ring doubles and only the unsettled queries re-run — probing ONLY
+    the annulus of new cells (the already-searched inner disk re-enters
+    ranking via the <= k carried survivors, never a re-gather).
 
-    The per-pass settledness check collects only (query, count, kth
+    Termination/full cover needs ``cur_ring >= 2^z - 1``: lon cells wrap
+    (2*ring+1 >= n suffices) but LAT CELLS CLAMP at the poles, so
+    covering row n-1 from a query at row 0 requires ring >= n-1 — with
+    the old 2*ring+1 >= n test a polar query never saw opposite-latitude
+    points (ADVICE r2 high: points at lat 85, query at lat -85, z=4
+    returned 0 rows vs brute-force 3).
+
+    The per-pass settledness check aggregates only (query, count, kth
     dist) — queries are the contractually small broadcast side, so the
-    driver loop is O(#unsettled queries) per pass, never O(points).
+    driver sees O(#unsettled queries) rows per pass, never O(points).
+    Results stay DISTRIBUTED (union of per-pass settled DataFrames);
+    nothing unbounded ever lands on the driver.
     """
-    import pandas as pd
-
     n = 1 << z
-    spark = points.sparkSession
     remaining = queries
     cur_ring = max(1, int(ring))
-    settled_rows: list = []
-    out_schema = None
+    prev_ring = None
+    carried = None
+    remaining_ids = None
+    settled_parts: list = []
     while True:
         res = _knn_cells_pass(points, remaining, k, z, cur_ring,
-                              lon, lat, qlon, qlat, point_id, query_id)
-        rows = res.collect()  # <= k rows per remaining query (tiny)
-        if out_schema is None:
-            out_schema = res.schema
-        full_cover = (2 * cur_ring + 1) >= n
+                              lon, lat, qlon, qlat, point_id, query_id,
+                              exclude_ring=prev_ring, carried=carried)
+        # one evaluation per pass; later passes never recompute this one
+        res = res.localCheckpoint(eager=True)
+        if remaining_ids is None:
+            remaining_ids = [r[0] for r in
+                             remaining.select(query_id).distinct().collect()]
+        full_cover = cur_ring >= n - 1
         guaranteed_d2 = (cur_ring * 180.0 / n) ** 2
-        by_q: dict = {}
-        for r in rows:
-            by_q.setdefault(r[query_id], []).append(r)
-        q_ids = [r[0] for r in remaining.select(query_id).distinct().collect()]
+        # settledness stats: <= 1 row per remaining query (tiny collect)
+        stats = {
+            r["q"]: (r["cnt"], r["kth"])
+            for r in res.groupBy(F.col(query_id).alias("q")).agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.max("dist2").alias("kth")).collect()
+        }
         todo = []
-        for qid in q_ids:
-            got = by_q.get(qid, [])
-            kth = max((r["dist2"] for r in got), default=float("inf"))
-            if full_cover or (len(got) >= k and kth < guaranteed_d2):
-                settled_rows.extend(got)
-            else:
+        for qid in remaining_ids:
+            cnt, kth = stats.get(qid, (0, float("inf")))
+            if not (full_cover or (cnt >= k and kth < guaranteed_d2)):
                 todo.append(qid)
         if not todo:
+            settled_parts.append(res)
             break
+        if len(todo) < len(remaining_ids):
+            settled_parts.append(res.filter(~F.col(query_id).isin(todo)))
+        carried = res.filter(F.col(query_id).isin(todo)).drop("rank")
         remaining = remaining.filter(F.col(query_id).isin(todo))
+        remaining_ids = todo
+        prev_ring = cur_ring
         cur_ring *= 2
-    pdf = pd.DataFrame([r.asDict() for r in settled_rows],
-                       columns=[f.name for f in out_schema.fields])
-    return spark.createDataFrame(pdf, schema=out_schema)
+    out = settled_parts[0]
+    for part in settled_parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def cell_rollup(points: DataFrame, z_levels, lon="lon", lat="lat",

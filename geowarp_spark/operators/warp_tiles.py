@@ -181,19 +181,24 @@ def _cover_cells_sql(bbox_col, z):
 
 
 def warp_tiles(tiles: DataFrame, chunks: DataFrame, *, method="near",
-               out_size=256, out_srs=3857, join_strategy="cells",
+               out_size=256, out_srs=3857, join_strategy="chunks",
                bin_z=6, out_dtype=None, turbo=False, chunk=256, halo=8,
                **warp_kwargs) -> DataFrame:
     """tiles x chunks -> warped tile rows (TILE_OUT_SCHEMA).
 
-    join_strategy:
+    join_strategy (default 'chunks' — the plan that is safe at ANY source
+    size; at the DataFrame level the chunk-table size isn't knowable
+    without an action, so the scale-safe plan is the default and the
+    payload-duplicating 'cells' plan is strictly opt-in.  Callers that
+    KNOW the source is small should use warp_fixture_to_tiles's 'auto',
+    which picks broadcast from the measured fixture size):
+      'chunks'    — chunk-anchored two-phase plan: payload crosses one
+                    shuffle, partial tiles merge in an output-sized second
+                    shuffle (the 100 TB path for non-broadcastable sources)
       'cells'     — explode cover cells on both sides, equi-join; the
                     matched chunk PAYLOADS are duplicated per tile through
                     the groupBy exchange — fine for small sources, WRONG
                     at scale (use 'chunks')
-      'chunks'    — chunk-anchored two-phase plan: payload crosses one
-                    shuffle, partial tiles merge in an output-sized second
-                    shuffle (the 100 TB path for non-broadcastable sources)
       'broadcast' — broadcast the chunk table, overlap predicate
                     (single-raster / small-source case)
     """
@@ -349,14 +354,18 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
          (cropping keeps this exchange proportional to the pyramid size,
          not tiles x chunks).
 
-    Proven bit-identical to the mosaic plans by
-    test_warp_tiles_all_strategies_identical."""
-    unsupported = {k: v for k, v in warp_kwargs.items()
-                   if k in ("cutline", "out_resolution", "row_start", "row_end")}
-    if unsupported:
-        raise ValueError(f"join_strategy='chunks' does not support {unsupported}; "
-                         "use 'cells' or a broadcast plan")
+    cutline / row_start / row_end compose freely: they mask out pixels in
+    OUT space, deterministically per tile, so every chunk's partial holds
+    the same fill there and ownership is unaffected.  out_resolution
+    changes the grid ownership runs on: samples are computed on the
+    scaled (hs, ws) grid and replicated to out_size (geowarp.js:506-521),
+    so a replicated block must have ONE owner — ownership is derived at
+    the SAMPLE centers and expanded with the same rounded edge maps
+    _materialize uses (see _chunk_partials).
 
+    Proven bit-identical to the mosaic plans by
+    test_warp_tiles_all_strategies_identical and
+    test_warp_chunks_cutline_resolution_rowrange."""
     tmeta = tiles.select("z", "x", "y", "bbox_4326")
     cmeta = chunks.select(
         "raster_id", "row_off", "col_off",
@@ -431,11 +440,21 @@ def _chunk_partials(rec, method, out_size, out_srs, out_dtype, turbo,
                     chunk, halo, out_no_data, warp_kwargs):
     """Warp every matched tile from ONE chunk's window; emit owned rects.
 
-    Ownership: out pixel centers are inverse-projected to global source
-    image coords with the full-raster geotransform; the chunk owns pixels
-    landing in its halo-free core [k*chunk, (k+1)*chunk) (recovered from
+    Ownership: out SAMPLE centers (the scaled out_resolution grid the
+    kernel actually computes on, then replicates — geowarp.js:506-521)
+    are inverse-projected to global source image coords with the
+    full-raster geotransform; the chunk owns samples landing in its
+    halo-free core [k*chunk, (k+1)*chunk) (recovered from
     row_off/col_off: offsets are k*chunk - halo clipped at 0, and
-    halo < chunk makes k unambiguous)."""
+    halo < chunk makes k unambiguous).  The sample-grid owned mask is
+    expanded to the full out_size grid with the SAME js_round edge maps
+    _materialize uses, so every pixel of a replicated sample block has
+    exactly one owner.  cutline / row-range masking needs no ownership
+    handling: masked pixels hold the fill value in every partial, owner
+    included, which equals the full-raster path's fill."""
+    from ..kernels.stats import js_round
+    from ..kernels.warp import _scale_integer
+
     method_name = method if isinstance(method, str) else "custom"
     row_off, col_off = int(rec["row_off"]), int(rec["col_off"])
     kr = 0 if row_off == 0 else (row_off + halo) // chunk
@@ -454,14 +473,20 @@ def _chunk_partials(rec, method, out_size, out_srs, out_dtype, turbo,
     srs = int(rec["srs"])
     inv = None if out_srs == srs else transformer(out_srs, srs)
 
+    # the kernel's actual sample grid under out_resolution (identity when
+    # out_resolution is the default (1, 1))
+    xr, yr = warp_kwargs.get("out_resolution", (1.0, 1.0))
+    ws_s, _, x_scale = _scale_integer(out_size, xr)
+    hs_s, _, y_scale = _scale_integer(out_size, yr)
+
     out = []
     for tk in rec["tile_keys"]:
         z, x, y = int(tk["z"]), int(tk["x"]), int(tk["y"])
         tb = tile_to_bbox_3857(x, y, z) if out_srs == 3857 else tile_to_bbox_4326(x, y, z)
-        pw = (tb[2] - tb[0]) / out_size
-        ph = (tb[3] - tb[1]) / out_size
-        xs = tb[0] + (np.arange(out_size) + 0.5) * pw
-        ys = tb[3] - (np.arange(out_size) + 0.5) * ph
+        sw = (tb[2] - tb[0]) / out_size * x_scale
+        sh = (tb[3] - tb[1]) / out_size * y_scale
+        xs = tb[0] + (np.arange(ws_s) + 0.5) * sw
+        ys = tb[3] - (np.arange(hs_s) + 0.5) * sh
         gx, gy = np.meshgrid(xs, ys)
         if inv is not None:
             px, py = inv.transform(gx.reshape(-1), gy.reshape(-1))
@@ -472,7 +497,17 @@ def _chunk_partials(rec, method, out_size, out_srs, out_dtype, turbo,
         with np.errstate(invalid="ignore"):
             owned = (np.isfinite(cx) & np.isfinite(cy)
                      & (cx >= own_c0) & (cx < own_c1)
-                     & (cy >= own_r0) & (cy < own_r1)).reshape(out_size, out_size)
+                     & (cy >= own_r0) & (cy < own_r1)).reshape(hs_s, ws_s)
+        if (hs_s, ws_s) != (out_size, out_size):
+            # replicate sample ownership to the full pixel grid with the
+            # exact edge maps _materialize uses (geowarp.js:506-521)
+            col_edges = js_round(np.arange(ws_s + 1, dtype=np.float64) * x_scale).astype(np.int64)
+            row_edges = js_round(np.arange(hs_s + 1, dtype=np.float64) * y_scale).astype(np.int64)
+            col_map = np.clip(np.searchsorted(col_edges, np.arange(out_size), side="right") - 1,
+                              0, ws_s - 1)
+            row_map = np.clip(np.searchsorted(row_edges, np.arange(out_size), side="right") - 1,
+                              0, hs_s - 1)
+            owned = owned[row_map][:, col_map]
         if not owned.any():
             continue
         row = _stitch_and_warp(

@@ -87,6 +87,15 @@ FIXTURE_IDS = [
 ]
 
 
+def demo_cutline():
+    """Deterministic GeoJSON triangle (EPSG:3857) inside rgba_webmerc's
+    bbox — shared by the pinned cutline oracle (tools/pin_expected.py)
+    and the driver query so both warp the exact same mask."""
+    return {"type": "Polygon", "coordinates": [[
+        [-900000.0, -900000.0], [900000.0, -800000.0],
+        [0.0, 900000.0], [-900000.0, -900000.0]]]}
+
+
 def _gt_bbox(gt, w, h):
     from ..kernels.affine import Geotransform
 

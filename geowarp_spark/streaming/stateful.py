@@ -55,11 +55,15 @@ def sessionize_stateful(events: DataFrame, gap_minutes: int = 30,
             last_ts, n_sessions, n_events = state.get
         else:
             last_ts, n_sessions, n_events = None, 0, 0
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
-            ts = pdf["ts"].astype("int64").to_numpy() / 1e9
+        # a group's micro-batch may arrive as SEVERAL Arrow chunks —
+        # accumulate them all and sort ONCE, or the documented
+        # within-batch event-time ordering breaks across chunk seams
+        # (ADVICE r2: per-chunk sort diverged from the batch oracle)
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if parts:
+            batch = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+            batch = batch.sort_values(["ts", "event_id"])
+            ts = batch["ts"].astype("int64").to_numpy() / 1e9
             for t in ts:  # per EVENT within the user's batch (small); the
                 # heavy lifting (grouping, shuffling, Arrow) is Spark-side
                 if last_ts is None or t - last_ts > gap_sec:

@@ -59,7 +59,25 @@ CONFIGS = {
     "expected_warp_vectorize": dict(
         raster_id="rgb_smallscale", zooms=[14], method="near-vectorize",
         out_size=256, bbox=[80.0, 7.0, 80.12, 7.12]),
+    # cutline clipping + out_resolution sample replication under the same
+    # serial oracle (geowarp.js:151-155 cutline, 174-179 out_resolution;
+    # test.js:30-77 cutline inside/outside, 615-651 rescale) — the driver
+    # query runs this through the CHUNK-ANCHORED plan
+    "expected_warp_cutline": dict(
+        raster_id="rgba_webmerc", zooms=[9], method="median", out_size=64,
+        extra="cutline"),
 }
+
+
+def _extra_kwargs(name):
+    """Named extra-warp-kwargs sets (kept out of CONFIGS so the dict stays
+    JSON-ish and the query side can import the same cutline geometry)."""
+    if name == "cutline":
+        from geowarp_spark.sources.fixtures import demo_cutline
+
+        return dict(cutline=demo_cutline(), cutline_srs=3857,
+                    cutline_strategy="outside", out_resolution=(0.5, 0.5))
+    return {}
 
 
 def _tile_grid(bb4326, z):
@@ -82,7 +100,8 @@ def _tile_bbox_4326_jvm(x, y, z):
 
 
 def serial_expected(raster_id, zooms, method, out_size, out_srs=3857,
-                    bbox=None):
+                    bbox=None, extra=None):
+    extra_kw = _extra_kwargs(extra) if extra else {}
     fx = build_fixture(raster_id)
     inv = transformer(fx["srs"], 4326)
     bb4326 = bbox if bbox is not None else reproject_bbox(
@@ -128,6 +147,7 @@ def serial_expected(raster_id, zooms, method, out_size, out_srs=3857,
                     out_height=out_size,
                     method=method,
                     out_dtype=fx["dtype"],
+                    **extra_kw,
                 )
                 block = res["block"]
                 rows.append({
@@ -147,7 +167,8 @@ def main():
     os.makedirs(FIXTURES_DIR, exist_ok=True)
     for name, cfg in CONFIGS.items():
         rows = serial_expected(cfg["raster_id"], cfg["zooms"], cfg["method"],
-                               cfg["out_size"], bbox=cfg.get("bbox"))
+                               cfg["out_size"], bbox=cfg.get("bbox"),
+                               extra=cfg.get("extra"))
         table = pa.table({
             "z": pa.array([r["z"] for r in rows], pa.int64()),
             "x": pa.array([r["x"] for r in rows], pa.int64()),
@@ -162,7 +183,8 @@ def main():
         print(f"{name}: {len(rows)} tiles -> {path}")
         # idempotence: a second serial run must produce identical rows
         again = serial_expected(cfg["raster_id"], cfg["zooms"], cfg["method"],
-                                cfg["out_size"], bbox=cfg.get("bbox"))
+                                cfg["out_size"], bbox=cfg.get("bbox"),
+                                extra=cfg.get("extra"))
         assert again == rows, f"{name}: serial run not deterministic!"
 
 
