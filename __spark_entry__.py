@@ -815,6 +815,47 @@ def q_warp_vectorize(spark, sf_dir):
     return _warp_tile_stats(out)
 
 
+def q_warp_reference(spark, sf_dir):
+    """Distributed engine vs bytes produced by EXECUTING THE REAL
+    REFERENCE (geowarp.js via node, deps shimmed — tools/pin_reference.py,
+    VERDICT r2 next #7).  Same-SRS config: 49 z9 tiles x 8 resampling
+    methods over rgba_webmerc, where JS==numpy bit-identity was measured
+    at 100% (no projection math, identical affine operation order)."""
+    from geowarp_spark.operators.warp_tiles import (
+        fixture_chunk_records, tiles_df, warp_tiles_broadcast)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgba_webmerc")
+    tiles = tiles_df(spark, [9], bbox_4326=[-4.0, -4.0, 0.5, 0.5])
+    recs = fixture_chunk_records(fx, chunk=256, halo=8)
+    outs = [
+        warp_tiles_broadcast(tiles, recs, method=m, out_size=64)
+        for m in ["near", "bilinear", "median", "mode", "min", "max",
+                  "mean", "mode-median"]
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return _warp_tile_stats(out)
+
+
+def q_warp_reference_reproj(spark, sf_dir):
+    """Reference-executed pin, REPROJECTED config (rgb_smallscale 4326 ->
+    3857 z10 tiles, near + median): additionally proves V8-vs-numpy
+    transcendental agreement on this grid (measured 100% bit-identity by
+    tools/pin_reference.py before pinning)."""
+    from geowarp_spark.operators.warp_tiles import (
+        fixture_chunk_records, tiles_df, warp_tiles_broadcast)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgb_smallscale")
+    tiles = tiles_df(spark, [10], bbox_4326=[80.0, 6.5, 81.2, 7.6])
+    recs = fixture_chunk_records(fx, chunk=256, halo=8)
+    out = warp_tiles_broadcast(tiles, recs, method="near", out_size=64).unionByName(
+        warp_tiles_broadcast(tiles, recs, method="median", out_size=64))
+    return _warp_tile_stats(out)
+
+
 def q_multimodal(spark, sf_dir):
     """Multimodal pipeline with REAL decode: payloads are actual PNG /
     raw-PCM bytes (stdlib zlib container), extract_features decodes them
@@ -1099,6 +1140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_tiles_chunks": q_warp_tiles_chunks,
         "warp_boxstats_chunks": q_warp_boxstats_chunks,
         "warp_cutline": q_warp_cutline,
+        "warp_reference": q_warp_reference,
+        "warp_reference_reproj": q_warp_reference_reproj,
         "multimodal": q_multimodal,
         "similarity_lsh": q_similarity_lsh,
     }
@@ -1363,5 +1406,15 @@ def oracle_sql() -> dict[str, str]:
         "warp_cutline": f"""
             SELECT z, x, y, method, bands, valid_px, payload_crc
             FROM read_parquet('{_FIXTURES_DIR}/expected_warp_cutline.parquet')
+        """,
+        # pinned by EXECUTING the real reference engine (geowarp.js via
+        # node with shimmed deps) — tools/pin_reference.py
+        "warp_reference": f"""
+            SELECT z, x, y, method, bands, valid_px, payload_crc
+            FROM read_parquet('{_FIXTURES_DIR}/expected_reference_same_srs.parquet')
+        """,
+        "warp_reference_reproj": f"""
+            SELECT z, x, y, method, bands, valid_px, payload_crc
+            FROM read_parquet('{_FIXTURES_DIR}/expected_reference_reproj.parquet')
         """,
     }

@@ -1,0 +1,98 @@
+// Execute the ACTUAL reference engine (/root/reference/geowarp.js) on a
+// synthetic fixture, with its npm dependencies replaced by the small
+// shims in ./node_modules (run with NODE_PATH=tools/refshim/node_modules).
+//
+// What this proves / doesn't prove (the honest framing COVERAGE.md
+// carries): geowarp.js's own CONTROL FLOW — kernel loops, rounding,
+// window clamping, no-data handling, band selection, insertion — runs
+// for real; the leaf math (affine, bbox reprojection, scanline
+// rasterization, median/min/max) comes from shims that mirror the same
+// formulas the Python engine uses, so any output difference isolates a
+// kernel-semantics divergence rather than a libm one.  Same-SRS configs
+// avoid transcendental libm differences entirely; reprojected configs
+// additionally exercise V8-vs-numpy sin/atan agreement and are reported
+// separately.
+//
+// stdin: JSON spec {in_data: [[band ints...]], in_bbox, in_srs,
+//   in_width, in_height, in_no_data?, dtype: "Uint8Array",
+//   jobs: [{z, x, y, out_bbox, out_srs, out_width, out_height, method,
+//           opts?: {...extra geowarp options...}}]}
+// stdout: JSON {results: [{z, x, y, method, bands, data: [[ints]]}]}
+
+const geowarp = require("/root/reference/geowarp.js");
+
+const R = 6378137.0;
+const DEG2RAD = Math.PI / 180;
+const RAD2DEG = 180 / Math.PI;
+
+// EPSG:4326 <-> 3857, same formulas/operation order as
+// geowarp_spark/kernels/proj.py WebMercator (per-point form)
+const webmercForward = ([lon, lat]) => {
+  const x = R * (lon * DEG2RAD);
+  const y = Math.abs(lat) >= 90 ? NaN : R * Math.atanh(Math.sin(lat * DEG2RAD));
+  return [x, y];
+};
+const webmercInverse = ([x, y]) => {
+  const lon = (x / R) * RAD2DEG;
+  const lat = (2 * Math.atan(Math.exp(y / R)) - Math.PI / 2) * RAD2DEG;
+  return [lon, lat];
+};
+
+const TYPED = {
+  Uint8Array, Int8Array, Uint16Array, Int16Array,
+  Uint32Array, Int32Array, Float32Array, Float64Array
+};
+
+const main = () => {
+  const chunks = [];
+  process.stdin.on("data", d => chunks.push(d));
+  process.stdin.on("end", () => {
+    const spec = JSON.parse(Buffer.concat(chunks).toString());
+    const Ctor = TYPED[spec.dtype];
+    if (!Ctor) throw new Error("unsupported dtype " + spec.dtype);
+    const in_data = spec.in_data.map(band => Ctor.from(band));
+    const bands = in_data.length;
+    const results = [];
+    for (const job of spec.jobs) {
+      const same = spec.in_srs === job.out_srs;
+      const options = {
+        in_data,
+        in_bbox: spec.in_bbox,
+        in_srs: spec.in_srs,
+        in_width: spec.in_width,
+        in_height: spec.in_height,
+        in_layout: "[band][row,column]",
+        out_layout: "[band][row,column]",
+        out_bbox: job.out_bbox,
+        out_srs: job.out_srs,
+        out_width: job.out_width,
+        out_height: job.out_height,
+        method: job.method,
+        out_array_types: new Array(bands).fill(spec.dtype),
+        ...(job.opts || {})
+      };
+      if (spec.in_no_data !== undefined && spec.in_no_data !== null) {
+        options.in_no_data = spec.in_no_data;
+      }
+      if (!same) {
+        if (!(spec.in_srs === 4326 && job.out_srs === 3857)) {
+          throw new Error("only 4326<->3857 reprojection wired in the runner");
+        }
+        options.forward = webmercForward;   // in_srs -> out_srs
+        options.inverse = webmercInverse;   // out_srs -> in_srs
+      }
+      const res = geowarp(options);
+      if (res && typeof res.then === "function") {
+        throw new Error("async result unexpected (quick-resolve shim is sync)");
+      }
+      results.push({
+        z: job.z, x: job.x, y: job.y, method: job.method,
+        bands: res.data.length,
+        data: res.data.map(band => Array.from(band))
+      });
+    }
+    process.stdout.write(JSON.stringify({ results }));
+  });
+};
+
+main();
