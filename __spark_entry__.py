@@ -856,6 +856,42 @@ def q_warp_reference_reproj(spark, sf_dir):
     return _warp_tile_stats(out)
 
 
+def q_warp_reference_options(spark, sf_dir):
+    """The OPTION surface vs real reference execution: cutline in/out,
+    out_resolution (incl. non-dyadic), row ranges, band reorder, no-data
+    skip, JS rounding, expr pipeline, forced vectorize, cutline+res —
+    11 variants x 9 tiles pinned from geowarp.js's own output bytes
+    (tools/pin_reference.py, 99/99 JS==numpy bit-identity measured
+    before pinning).  Config list is shared with the pin tool via
+    geowarp_spark.sources.reference_configs so the sides cannot drift."""
+    from geowarp_spark.operators.warp_tiles import (
+        fixture_chunk_records, tiles_df, warp_tiles_broadcast)
+    from geowarp_spark.sources.fixtures import build_fixture
+    from geowarp_spark.sources.reference_configs import (
+        OPTIONS_BBOX, OPTIONS_OUT_SIZE, OPTIONS_ZOOM, options_variants,
+        py_opts)
+
+    fx = build_fixture("rgba_webmerc")
+    tiles = tiles_df(spark, [OPTIONS_ZOOM], bbox_4326=OPTIONS_BBOX)
+    recs = fixture_chunk_records(fx, chunk=256, halo=8)
+    out = None
+    for tag, method, js_opts in options_variants():
+        kw = py_opts(js_opts)
+        part = warp_tiles_broadcast(
+            tiles, recs, method=method, out_size=OPTIONS_OUT_SIZE, **kw
+        ).withColumn("config", F.lit(tag))
+        out = part if out is None else out.unionByName(part)
+    return out.select(
+        F.col("z").cast("long").alias("z"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        "method", "config",
+        F.col("bands").cast("long").alias("bands"),
+        F.col("valid_px").cast("long").alias("valid_px"),
+        F.crc32("data").alias("payload_crc"),
+    )
+
+
 def q_multimodal(spark, sf_dir):
     """Multimodal pipeline with REAL decode: payloads are actual PNG /
     raw-PCM bytes (stdlib zlib container), extract_features decodes them
@@ -1142,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_cutline": q_warp_cutline,
         "warp_reference": q_warp_reference,
         "warp_reference_reproj": q_warp_reference_reproj,
+        "warp_reference_options": q_warp_reference_options,
         "multimodal": q_multimodal,
         "similarity_lsh": q_similarity_lsh,
     }
@@ -1416,5 +1453,9 @@ def oracle_sql() -> dict[str, str]:
         "warp_reference_reproj": f"""
             SELECT z, x, y, method, bands, valid_px, payload_crc
             FROM read_parquet('{_FIXTURES_DIR}/expected_reference_reproj.parquet')
+        """,
+        "warp_reference_options": f"""
+            SELECT z, x, y, method, config, bands, valid_px, payload_crc
+            FROM read_parquet('{_FIXTURES_DIR}/expected_reference_options.parquet')
         """,
     }

@@ -131,7 +131,7 @@ def _job_join(spark, sf_dir, replication=None):
     }
 
 
-def _job_tiles(spark, sf_dir):
+def _job_tiles(spark, sf_dir, strategy="broadcast_map"):
     from pyspark.sql import functions as F
 
     from geowarp_spark.operators.warp_tiles import warp_fixture_to_tiles
@@ -140,9 +140,12 @@ def _job_tiles(spark, sf_dir):
     fx = build_fixture("rgba_webmerc")
     t0 = time.time()
     # broadcast_map: the 1 MB source is shipped once per executor, tiles
-    # stream through mapInPandas — no per-tile payload duplication
+    # stream through mapInPandas — no per-tile payload duplication.
+    # strategy="chunks" measures the chunk-anchored two-phase plan — the
+    # path a non-broadcastable (100 TB) source must take — on the same
+    # tile pyramid, with the same output hash gate.
     out = warp_fixture_to_tiles(spark, fx, zooms=[10, 11, 12], method="median",
-                                out_size=128, join_strategy="broadcast_map")
+                                out_size=128, join_strategy=strategy)
     # hash the tile payloads executor-side; only (key, md5) reaches the driver
     hashed = out.select("z", "x", "y", F.md5("data").alias("h")).collect()
     wall = time.time() - t0
@@ -178,8 +181,9 @@ def worker(job, out_path):
         res = {"master": master, "sf_dir": sf_dir, "job": job,
                "result": _job_join(spark, sf_dir)}
     else:
+        strategy = "chunks" if job == "tiles_chunks" else "broadcast_map"
         res = {"master": master, "sf_dir": sf_dir, "job": job,
-               "result": _job_tiles(spark, sf_dir)}
+               "result": _job_tiles(spark, sf_dir, strategy=strategy)}
     with open(out_path, "w") as f:
         json.dump(res, f, indent=2)
     spark.stop()
@@ -225,7 +229,7 @@ def orchestrate():
                     z.write(full, os.path.relpath(full, REPO))
 
     trials = int(os.environ.get("SCALING_TRIALS", "5"))
-    jobs = os.environ.get("SCALING_JOBS", "join,tiles").split(",")
+    jobs = os.environ.get("SCALING_JOBS", "join,tiles,tiles_chunks").split(",")
     ceilings = {
         "2->8": _hardware_ceiling(2, 8),
         "8->32": _hardware_ceiling(8, 32),
@@ -239,7 +243,8 @@ def orchestrate():
         "primary_pair": f"{PRIMARY[0]} -> {PRIMARY[1]}",
         "levels": {name: cores for name, cores in LEVELS},
     }}
-    prior = os.path.join(REPO, "BENCH", "scaling_r2.json")
+    prior = os.path.join(REPO, "BENCH",
+                         os.environ.get("SCALING_PRIOR", "scaling_r2.json"))
     if os.path.exists(prior):  # keep results for jobs not rerun this time
         with open(prior) as f:
             results["trials"].update(json.load(f).get("trials", {}))
@@ -288,7 +293,8 @@ def orchestrate():
 
     results["summary"] = _summarize(results["trials"], ceilings)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_r2.json"), "w") as f:
+    out_name = os.environ.get("SCALING_OUT", "scaling_r3.json")
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results["summary"], indent=2))
 
@@ -337,19 +343,21 @@ def _summarize(tr, ceilings):
         ident = all(
             tr[f"{job}@{a}"]["output_md5"] == tr[f"{job}@{b}"]["output_md5"]
             for (a, _), (b, _) in zip(LEVELS, LEVELS[1:]))
-        pre = "join" if job == "join" else "tiles"
+        pre = job if job != "tiles" else "tiles"  # flat keys are per job
         summary[f"{pre}_speedup"] = p["speedup"]
         summary[f"{pre}_scaling_efficiency"] = p["efficiency"]
         summary[f"{pre}_scaling_efficiency_vs_ceiling"] = p["efficiency_vs_ceiling"]
-        summary["join_outputs_identical" if job == "join"
-                else "tile_outputs_identical"] = ident
+        summary[f"{pre}_outputs_identical" if job != "join" else "join_outputs_identical"] = ident
+        if job == "tiles":
+            summary["tile_outputs_identical"] = ident  # legacy key
     return summary
 
 
 def finalize():
     """Recompute the summary from the merged trials in the artifact
     (used after re-measuring a single job)."""
-    path = os.path.join(REPO, "BENCH", "scaling_r2.json")
+    path = os.path.join(REPO, "BENCH",
+                        os.environ.get("SCALING_OUT", "scaling_r3.json"))
     with open(path) as f:
         results = json.load(f)
     ceilings = results["summary"]["hardware_ceilings"]

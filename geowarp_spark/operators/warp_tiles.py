@@ -279,6 +279,12 @@ def _stitch_and_warp(recs, z, x, y, method, method_name, out_size, out_srs,
 
     out_bbox = tile_to_bbox_3857(x, y, z) if out_srs == 3857 else tile_to_bbox_4326(x, y, z)
     no_data = first["no_data"]
+    # an explicit in_no_data kwarg (e.g. a reference-parity config)
+    # overrides the chunk table's per-raster sentinel
+    warp_kwargs = dict(warp_kwargs)
+    in_no_data = warp_kwargs.pop(
+        "in_no_data",
+        None if no_data is None or pd.isna(no_data) else float(no_data))
     res = warp(
         in_data=mosaic,
         in_bbox=in_bbox,
@@ -286,7 +292,7 @@ def _stitch_and_warp(recs, z, x, y, method, method_name, out_size, out_srs,
         in_srs=srs,
         in_height=r1 - r0,
         in_width=c1 - c0,
-        in_no_data=None if no_data is None or pd.isna(no_data) else float(no_data),
+        in_no_data=in_no_data,
         out_bbox=out_bbox,
         out_srs=out_srs,
         out_width=out_size,

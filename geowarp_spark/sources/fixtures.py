@@ -96,6 +96,23 @@ def demo_cutline():
         [0.0, 900000.0], [-900000.0, -900000.0]]]}
 
 
+def strip_cutline():
+    """Comb of vertical strips (EPSG:3857 MultiPolygon) crossing every z9
+    tile of the reference-options grid, so BOTH cutline strategies leave
+    every tile partially inside and partially outside — the reference
+    returns `data: undefined` for zero-insert tiles (out allocation is
+    deferred to the first inserted pixel, geowarp.js:477), which this
+    geometry makes unreachable.  Shared by tools/pin_reference.py and
+    __spark_entry__.q_warp_reference_options."""
+    polys = []
+    x = -230000.0
+    while x < 0.0:
+        polys.append([[[x, -230000.0], [x + 20000.0, -230000.0],
+                       [x + 20000.0, 0.0], [x, 0.0], [x, -230000.0]]])
+        x += 40000.0
+    return {"type": "MultiPolygon", "coordinates": polys}
+
+
 def _gt_bbox(gt, w, h):
     from ..kernels.affine import Geotransform
 

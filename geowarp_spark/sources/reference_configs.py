@@ -1,0 +1,71 @@
+"""Shared config for the reference-executed option-surface oracle.
+
+tools/pin_reference.py runs these variants through the REAL geowarp.js
+(node + shimmed deps) and pins the resulting bytes;
+__spark_entry__.q_warp_reference_options runs the same variants through
+the distributed engine.  Both import THIS list so the two sides can
+never drift.
+
+Each variant: (tag, method, js_opts) where js_opts uses the reference's
+option names (geowarp.js signature).  ``py_opts`` maps them onto the
+Python kernel's kwargs (round -> round_values, expr_name -> a named
+callable; everything else is name-identical by design).
+"""
+
+from __future__ import annotations
+
+OPTIONS_BBOX = [-2.0, -2.0, -0.1, -0.1]  # ~3x3 z9 tiles over rgba_webmerc
+OPTIONS_ZOOM = 9
+OPTIONS_OUT_SIZE = 64
+
+
+def options_variants():
+    """The option surface pinned against real reference execution:
+    cutline both strategies (geowarp.js:151-155, 355-415), sample
+    replication (174-179, 506-521), row ranges (144-145), band reorder
+    (127), no-data skip (125, 604-609), JS half-up rounding (134, 257),
+    expr pipeline (253-287), forward-paint vectorize (613-703)."""
+    from .fixtures import strip_cutline
+
+    cut = strip_cutline()
+    return [
+        ("cut_out", "near", {"cutline": cut, "cutline_srs": 3857,
+                             "cutline_strategy": "outside"}),
+        ("cut_in", "median", {"cutline": cut, "cutline_srs": 3857,
+                              "cutline_strategy": "inside"}),
+        ("res_half", "near", {"out_resolution": [0.5, 0.5]}),
+        ("res_odd", "median", {"out_resolution": [0.37, 0.61]}),
+        ("row_range", "near", {"row_start": 8, "row_end": 56}),
+        ("bands", "near", {"out_bands": [2, 0, 1]}),
+        # in_no_data=17 hits a narrow band-0 gradient strip, so "any"
+        # skips SOME samples of a tile but can never skip a whole tile
+        # (a whole-tile skip -> reference returns data: undefined)
+        ("nodata_skip", "median", {"in_no_data": 17,
+                                   "skip_no_data_strategy": "any"}),
+        ("round", "mean", {"round": True}),
+        ("expr_swap", "near", {"expr_name": "swap"}),
+        ("vectorize", "vectorize", {}),
+        ("cut_res", "near", {"cutline": cut, "cutline_srs": 3857,
+                             "cutline_strategy": "outside",
+                             "out_resolution": [0.5, 0.5]}),
+    ]
+
+
+def py_opts(js_opts):
+    """JS option names -> Python kernel kwargs."""
+    out = {}
+    for k, v in js_opts.items():
+        if k == "round":
+            out["round_values"] = v
+        elif k == "expr_name":
+            if v == "swap":
+                out["expr"] = lambda vals: vals[[2, 1, 0]]
+            elif v == "half":
+                out["expr"] = lambda vals: vals / 2.0
+            else:
+                raise KeyError(v)
+        elif k == "out_resolution":
+            out["out_resolution"] = tuple(v)
+        else:
+            out[k] = v
+    return out

@@ -561,6 +561,25 @@ def test_simhash_is_shuffle_free(spark, sf_dir):
     assert "Generate" not in plan  # no explode
 
 
+def test_connected_components_long_chain_and_iter_guard(spark):
+    """Long-chain graph: min-label propagation needs ~chain-length rounds,
+    so (a) with enough iterations the labels are exact, and (b) with too
+    few, the operator must RAISE rather than return partially-propagated
+    component ids (ADVICE r2)."""
+    import pytest
+
+    from geowarp_spark.operators.dedup import connected_components
+
+    n = 12  # chain 0-1-2-...-12 (diameter 12)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    got = {(r["doc_id"], r["component"])
+           for r in connected_components(pairs, max_iter=30).collect()}
+    assert got == {(i, 0) for i in range(n + 1)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=3)
+
+
 def test_dedup_band_join_is_equi(spark, sf_dir):
     from geowarp_spark.operators.dedup import minhash_lsh_pairs
 

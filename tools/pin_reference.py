@@ -65,6 +65,10 @@ CONFIGS = {
 }
 
 
+from geowarp_spark.sources.reference_configs import (  # noqa: E402
+    OPTIONS_BBOX, OPTIONS_OUT_SIZE, OPTIONS_ZOOM, options_variants, py_opts)
+
+
 def tile_list(fx, bb4326, z):
     """Tiles hit by any chunk bbox — the same membership rule as
     pin_expected / the engine's broadcast plan."""
@@ -117,26 +121,75 @@ def python_serial(fx, jobs):
     in_bbox = [gx.min(), gy.min(), gx.max(), gy.max()]
     out = []
     for job in jobs:
+        kw = py_opts(job.get("opts", {}))
+        if "in_no_data" not in kw:
+            kw["in_no_data"] = fx["no_data"]
         res = warp(
             in_data=fx["data"].astype(np.float64),
             in_bbox=in_bbox,
             in_geotransform=list(full_gt),
             in_srs=fx["srs"],
             in_height=h, in_width=w,
-            in_no_data=fx["no_data"],
             out_bbox=job["out_bbox"], out_srs=job["out_srs"],
             out_width=job["out_width"], out_height=job["out_height"],
             method=job["method"],
             out_dtype=fx["dtype"],
+            **kw,
         )
         out.append(res["block"])
     return out
 
 
-def main():
+def _pin(rows, name):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    cols = {
+        "z": pa.array([r["z"] for r in rows], pa.int64()),
+        "x": pa.array([r["x"] for r in rows], pa.int64()),
+        "y": pa.array([r["y"] for r in rows], pa.int64()),
+        "method": pa.array([r["method"] for r in rows], pa.string()),
+        "bands": pa.array([r["bands"] for r in rows], pa.int64()),
+        "valid_px": pa.array([r["valid_px"] for r in rows], pa.int64()),
+        "payload_crc": pa.array([r["payload_crc"] for r in rows], pa.int64()),
+    }
+    if rows and "config" in rows[0]:
+        cols["config"] = pa.array([r["config"] for r in rows], pa.string())
+    path = os.path.join(FIXTURES_DIR, f"expected_reference_{name}.parquet")
+    pq.write_table(pa.table(cols), path, compression="snappy")
+    print(f"  pinned {len(rows)} rows -> {path}")
+
+
+def _compare_and_rows(jobs, js, py, dt, out_size, tag_key=None):
+    n_match = 0
+    mismatched = []
+    rows = []
+    for job, jres, pblock in zip(jobs, js, py):
+        jblock = np.array(jres["data"], dtype=dt).reshape(
+            jres["bands"], out_size, out_size)
+        crc_js = int(zlib.crc32(jblock.tobytes()) & 0xFFFFFFFF)
+        crc_py = int(zlib.crc32(pblock.tobytes()) & 0xFFFFFFFF)
+        if crc_js == crc_py:
+            n_match += 1
+        else:
+            diff = (int((jblock != pblock).sum())
+                    if jblock.shape == pblock.shape else -1)
+            mismatched.append((job.get("config", job["method"]),
+                               job["x"], job["y"], diff))
+        row = {
+            "z": job["z"], "x": job["x"], "y": job["y"],
+            "method": job["method"],
+            "bands": int(jblock.shape[0]),
+            "valid_px": int(np.isfinite(jblock.astype(np.float64)).sum()),
+            "payload_crc": crc_js,
+        }
+        if "config" in job:
+            row["config"] = job["config"]
+        rows.append(row)
+    return rows, n_match, mismatched
+
+
+def main():
     for name, cfg in CONFIGS.items():
         fx = build_fixture(cfg["raster_id"])
         z = cfg["zoom"]
@@ -153,49 +206,47 @@ def main():
                 })
         js = run_reference(fx, jobs)
         py = python_serial(fx, jobs)
-
-        dt = np.dtype(fx["dtype"])
-        rows = []
-        n_match = 0
-        mismatched = []
-        for job, jres, pblock in zip(jobs, js, py):
-            jblock = np.array(jres["data"], dtype=dt).reshape(
-                jres["bands"], cfg["out_size"], cfg["out_size"])
-            crc_js = int(zlib.crc32(jblock.tobytes()) & 0xFFFFFFFF)
-            crc_py = int(zlib.crc32(pblock.tobytes()) & 0xFFFFFFFF)
-            if crc_js == crc_py:
-                n_match += 1
-            else:
-                mismatched.append((job["method"], job["x"], job["y"],
-                                   int((jblock != pblock).sum())))
-            rows.append({
-                "z": job["z"], "x": job["x"], "y": job["y"],
-                "method": job["method"],
-                "bands": int(jblock.shape[0]),
-                "valid_px": int(np.isfinite(jblock.astype(np.float64)).sum()),
-                "payload_crc": crc_js,
-            })
+        rows, n_match, mismatched = _compare_and_rows(
+            jobs, js, py, np.dtype(fx["dtype"]), cfg["out_size"])
         pct = 100.0 * n_match / max(1, len(jobs))
         print(f"{name}: {len(tiles)} tiles x {len(cfg['methods'])} methods = "
               f"{len(jobs)} warps; JS==numpy bit-identity {n_match}/{len(jobs)}"
               f" ({pct:.1f}%)")
         for m in mismatched[:10]:
-            print(f"  MISMATCH method={m[0]} tile=({m[1]},{m[2]}) diff_px={m[3]}")
+            print(f"  MISMATCH config={m[0]} tile=({m[1]},{m[2]}) diff_px={m[3]}")
         if pct < 100.0:
             print(f"  NOT pinning {name} (agreement below 100%); see COVERAGE.md")
             continue
-        table = pa.table({
-            "z": pa.array([r["z"] for r in rows], pa.int64()),
-            "x": pa.array([r["x"] for r in rows], pa.int64()),
-            "y": pa.array([r["y"] for r in rows], pa.int64()),
-            "method": pa.array([r["method"] for r in rows], pa.string()),
-            "bands": pa.array([r["bands"] for r in rows], pa.int64()),
-            "valid_px": pa.array([r["valid_px"] for r in rows], pa.int64()),
-            "payload_crc": pa.array([r["payload_crc"] for r in rows], pa.int64()),
-        })
-        path = os.path.join(FIXTURES_DIR, f"expected_reference_{name}.parquet")
-        pq.write_table(table, path, compression="snappy")
-        print(f"  pinned {len(rows)} rows -> {path}")
+        _pin(rows, name)
+
+    # the option surface: every variant over a small same-srs tile grid
+    fx = build_fixture("rgba_webmerc")
+    tiles = tile_list(fx, OPTIONS_BBOX, OPTIONS_ZOOM)
+    jobs = []
+    for tag, method, js_opts in options_variants():
+        for (x, y) in tiles:
+            jobs.append({
+                "z": OPTIONS_ZOOM, "x": x, "y": y, "config": tag,
+                "out_bbox": [float(v) for v in
+                             tile_to_bbox_3857(x, y, OPTIONS_ZOOM)],
+                "out_srs": 3857,
+                "out_width": OPTIONS_OUT_SIZE, "out_height": OPTIONS_OUT_SIZE,
+                "method": method, "opts": js_opts,
+            })
+    js = run_reference(fx, jobs)
+    py = python_serial(fx, jobs)
+    rows, n_match, mismatched = _compare_and_rows(
+        jobs, js, py, np.dtype(fx["dtype"]), OPTIONS_OUT_SIZE)
+    pct = 100.0 * n_match / max(1, len(jobs))
+    print(f"options: {len(tiles)} tiles x {len(options_variants())} variants"
+          f" = {len(jobs)} warps; JS==numpy bit-identity {n_match}/{len(jobs)}"
+          f" ({pct:.1f}%)")
+    for m in mismatched[:20]:
+        print(f"  MISMATCH config={m[0]} tile=({m[1]},{m[2]}) diff_px={m[3]}")
+    if pct == 100.0:
+        _pin(rows, "options")
+    else:
+        print("  NOT pinning options (agreement below 100%); see COVERAGE.md")
 
 
 if __name__ == "__main__":

@@ -55,6 +55,18 @@ const main = () => {
     const results = [];
     for (const job of spec.jobs) {
       const same = spec.in_srs === job.out_srs;
+      const opts = { ...(job.opts || {}) };
+      // expr is a function-valued option — JSON can't carry it, so the
+      // runner exposes named exprs mirrored on the Python side
+      if (opts.expr_name) {
+        const EXPRS = {
+          swap: ({ pixel }) => [pixel[2], pixel[1], pixel[0]],
+          half: ({ pixel }) => pixel.map(v => v / 2)
+        };
+        opts.expr = EXPRS[opts.expr_name];
+        if (!opts.expr) throw new Error("unknown expr_name " + opts.expr_name);
+        delete opts.expr_name;
+      }
       const options = {
         in_data,
         in_bbox: spec.in_bbox,
@@ -69,9 +81,9 @@ const main = () => {
         out_height: job.out_height,
         method: job.method,
         out_array_types: new Array(bands).fill(spec.dtype),
-        ...(job.opts || {})
+        ...opts
       };
-      if (spec.in_no_data !== undefined && spec.in_no_data !== null) {
+      if (!("in_no_data" in opts) && spec.in_no_data !== undefined && spec.in_no_data !== null) {
         options.in_no_data = spec.in_no_data;
       }
       if (!same) {
@@ -84,6 +96,12 @@ const main = () => {
       const res = geowarp(options);
       if (res && typeof res.then === "function") {
         throw new Error("async result unexpected (quick-resolve shim is sync)");
+      }
+      if (!res || !res.data) {
+        throw new Error(
+          "reference returned no data (zero inserted pixels) for job " +
+          JSON.stringify({ z: job.z, x: job.x, y: job.y, method: job.method,
+                           config: job.config }));
       }
       results.push({
         z: job.z, x: job.x, y: job.y, method: job.method,
