@@ -142,10 +142,18 @@ def _job_tiles(spark, sf_dir, strategy="broadcast_map"):
     # broadcast_map: the 1 MB source is shipped once per executor, tiles
     # stream through mapInPandas — no per-tile payload duplication.
     # strategy="chunks" measures the chunk-anchored two-phase plan — the
-    # path a non-broadcastable (100 TB) source must take — on the same
-    # tile pyramid, with the same output hash gate.
-    out = warp_fixture_to_tiles(spark, fx, zooms=[10, 11, 12], method="median",
-                                out_size=128, join_strategy=strategy)
+    # path a non-broadcastable (100 TB) source must take.  Its leg uses
+    # chunk=128 (16 chunk rows): at chunk=256 the 512px fixture yields
+    # only 4 chunks, capping the partials stage at 4-way parallelism —
+    # an artifact of the tiny fixture, not the plan (a real
+    # non-broadcastable source has millions of chunks).  16 rows cover
+    # the primary 2->8 criterion pair with headroom; the tile pyramid is
+    # z10-only to keep 15 interleaved legs inside the session budget
+    # (z10+z11 measured 400 s at local[8] — x5 trials x3 levels is
+    # hours).  The broadcast job keeps z10-12 for round-2 comparability.
+    kw = dict(chunk=128, zooms=[10]) if strategy == "chunks" else dict(zooms=[10, 11, 12])
+    out = warp_fixture_to_tiles(spark, fx, method="median",
+                                out_size=128, join_strategy=strategy, **kw)
     # hash the tile payloads executor-side; only (key, md5) reaches the driver
     hashed = out.select("z", "x", "y", F.md5("data").alias("h")).collect()
     wall = time.time() - t0

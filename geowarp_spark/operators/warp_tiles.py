@@ -501,9 +501,10 @@ def _chunk_partials(rec, method, out_size, out_srs, out_dtype, turbo,
         cx, cy = g.inverse(np.asarray(px, dtype=np.float64),
                            np.asarray(py, dtype=np.float64))
         with np.errstate(invalid="ignore"):
-            owned = (np.isfinite(cx) & np.isfinite(cy)
-                     & (cx >= own_c0) & (cx < own_c1)
-                     & (cy >= own_r0) & (cy < own_r1)).reshape(hs_s, ws_s)
+            owned_s = (np.isfinite(cx) & np.isfinite(cy)
+                       & (cx >= own_c0) & (cx < own_c1)
+                       & (cy >= own_r0) & (cy < own_r1)).reshape(hs_s, ws_s)
+        owned = owned_s
         if (hs_s, ws_s) != (out_size, out_size):
             # replicate sample ownership to the full pixel grid with the
             # exact edge maps _materialize uses (geowarp.js:506-521)
@@ -513,12 +514,29 @@ def _chunk_partials(rec, method, out_size, out_srs, out_dtype, turbo,
                               0, ws_s - 1)
             row_map = np.clip(np.searchsorted(row_edges, np.arange(out_size), side="right") - 1,
                               0, hs_s - 1)
-            owned = owned[row_map][:, col_map]
+            owned = owned_s[row_map][:, col_map]
         if not owned.any():
             continue
+        # restrict the kernel to the owned SAMPLE-row range: rows outside
+        # row_start/row_end are fill in EVERY plan (the kernel masks them
+        # before any gather), so intersecting the caller's row range with
+        # the owned rows is bit-identical and skips the per-pair kernel
+        # work a straddling tile would otherwise duplicate per chunk —
+        # a tile spanning k chunk-rows costs ~1x instead of ~k x.
+        # (gather kernels only window-gather kept rows; vectorize ignores
+        # the row hint and keeps its own pruning, still correct.)
+        srows = np.nonzero(owned_s.any(axis=1))[0]
+        eff_start = max(int(warp_kwargs.get("row_start", 0) or 0), int(srows.min()))
+        caller_end = warp_kwargs.get("row_end")
+        eff_end = min(hs_s if caller_end is None else int(caller_end),
+                      int(srows.max()) + 1)
+        pair_kwargs = dict(warp_kwargs, out_no_data=out_no_data,
+                           row_start=eff_start, row_end=eff_end)
+        if method in ("vectorize", "near-vectorize", "nearest-vectorize"):
+            pair_kwargs = dict(warp_kwargs, out_no_data=out_no_data)
         row = _stitch_and_warp(
             [rec], z, x, y, method, method_name, out_size, out_srs,
-            out_dtype, turbo, dict(warp_kwargs, out_no_data=out_no_data),
+            out_dtype, turbo, pair_kwargs,
         )
         block = np.frombuffer(row["data"], dtype=row["dtype"]).reshape(
             row["bands"], out_size, out_size)
