@@ -390,6 +390,22 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
     )
     grouped = pairs.groupBy("raster_id", "row_off", "col_off").agg(
         F.collect_list(F.struct("z", "x", "y")).alias("tile_keys"))
+    # EXPLICIT round-robin repartition of the METADATA side before the
+    # join: the tile-key lists are a few KB, so AQE coalesces their
+    # aggregate exchange to ~1 partition; a broadcast join then inherits
+    # that single partition and the whole per-chunk warp stage runs in
+    # ONE task at any core count (measured: 2->8 cores gave 1.04x before
+    # this line — the same AQE small-exchange gotcha that serialized the
+    # round-1 scaling-join generator, caught again by the r3 scaling
+    # gate).  REPARTITION_BY_NUM is user-specified: AQE never coalesces
+    # it and EnsureRequirements can't elide it (round-robin matches no
+    # required distribution), and it moves only metadata, never pixel
+    # payload — when the chunk side is too big to broadcast, the join
+    # re-exchanges both sides on the join keys as before (the plan's
+    # single payload crossing), so the scale path is unchanged.
+    spark = chunks.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    grouped = grouped.repartition(n_parts)
     withtiles = chunks.join(grouped, ["raster_id", "row_off", "col_off"])
 
     method_name = method if isinstance(method, str) else "custom"
@@ -438,6 +454,14 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
             "valid_px": int(np.isfinite(data.astype(np.float64)).sum()),
         }])
 
+    # explicit-width exchange for the merge: partial rects are ~64 KB
+    # each, so AQE's 64 MB advisory target coalesces the merge shuffle
+    # to a handful of tasks regardless of cores (measured: the merge ran
+    # 3-way at local[8]).  repartition(n, cols) is user-specified — AQE
+    # keeps its width — and it satisfies the groupBy's clustered
+    # distribution, so Catalyst adds NO second exchange: the payload
+    # still crosses exactly once.
+    partials = partials.repartition(n_parts, "raster_id", "z", "x", "y")
     return partials.groupBy("raster_id", "z", "x", "y").applyInPandas(
         merge, schema=TILE_OUT_SCHEMA)
 
