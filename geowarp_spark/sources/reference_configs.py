@@ -48,6 +48,15 @@ def options_variants():
         ("cut_res", "near", {"cutline": cut, "cutline_srs": 3857,
                              "cutline_strategy": "outside",
                              "out_resolution": [0.5, 0.5]}),
+        ("out_nodata", "near", {"out_no_data": 7}),
+        ("nodata_all", "median", {"in_no_data": 17,
+                                  "skip_no_data_strategy": "all"}),
+        ("rows_res", "near", {"row_start": 3, "row_end": 27,
+                              "out_resolution": [0.5, 0.5]}),
+        ("bilinear_res", "bilinear", {"out_resolution": [0.73, 0.41]}),
+        # expr + round exercises the reference's thenable process
+        # pipeline (geowarp.js:257: quickResolve(expr(...)).then(round))
+        ("expr_round", "near", {"expr_name": "half", "round": True}),
     ]
 
 
