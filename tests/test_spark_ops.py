@@ -176,6 +176,27 @@ def test_knn_cells_annulus_disjoint_from_inner_disk(spark):
         assert r["n_new"] > 0
 
 
+def test_knn_cells_annulus_union_completeness(spark):
+    """disk(prev) ∪ annulus(prev→cur) must equal disk(cur) exactly —
+    incremental widening may never lose a cell (incl. polar clamping and
+    antimeridian wrap)."""
+    from geowarp_spark.operators.spatial import _disk_cells_sql
+
+    q = spark.createDataFrame(
+        [(0, 10.0, -89.5), (1, 179.95, 0.0), (2, -179.95, 89.5),
+         (3, 0.0, 0.0), (4, -90.0, 45.0)],
+        "query_id long, qlon double, qlat double")
+    for z, prev, cur in ((4, 1, 2), (4, 2, 4), (5, 4, 8), (3, 2, 7)):
+        inner = _disk_cells_sql("qlon", "qlat", z, prev)
+        full = _disk_cells_sql("qlon", "qlat", z, cur)
+        annulus = f"array_except({full}, {inner})"
+        rows = q.select(
+            F.size(F.expr(f"array_except({full}, array_union({inner}, {annulus}))"))
+            .alias("missing"),
+        ).collect()
+        assert all(r["missing"] == 0 for r in rows), (z, prev, cur)
+
+
 def test_knn_cells_multipass_exact_and_distributed(spark):
     """A sparse far-away neighbor forces >= 2 widening passes; the result
     must still be exact and must come back as a DISTRIBUTED plan (no
