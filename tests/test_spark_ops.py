@@ -548,6 +548,48 @@ def test_lsh_topk_no_cartesian_for_candidates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_warp_chunks_stage_widths_survive_aqe(spark):
+    """Regression guard for the r3 scaling catch: AQE coalesced the
+    few-KB tile-key exchange to ~1 partition (serializing the per-chunk
+    warp stage at any core count) and the partials merge shuffle to a
+    handful of tasks.  The fixed plan pins both widths with
+    user-specified repartitions; assert the partials input actually
+    spreads chunks across partitions at runtime."""
+    from geowarp_spark.operators.warp_tiles import (
+        _cover_cells_sql, chunks_to_df, tiles_df)
+    from geowarp_spark.sources.fixtures import build_fixture
+    from geowarp_spark.kernels.bbox import reproject_bbox
+    from geowarp_spark.kernels.proj import transformer
+
+    fx = build_fixture("rgba_webmerc")
+    inv = transformer(fx["srs"], 4326)
+    bb = reproject_bbox(fx["bbox"], inv.transform, density=16, nan_strategy="skip")
+    tiles = tiles_df(spark, [8], bbox_4326=bb)
+    chunks = chunks_to_df(spark, fx, chunk=128, halo=8)
+    tmeta = tiles.select("z", "x", "y", "bbox_4326")
+    cmeta = chunks.select("raster_id", "row_off", "col_off",
+                          F.col("bbox_4326").alias("chunk_bbox_4326"))
+    t = tmeta.withColumn("cell", F.explode(F.expr(_cover_cells_sql("bbox_4326", 6))))
+    c = cmeta.withColumn("cell", F.explode(F.expr(_cover_cells_sql("chunk_bbox_4326", 6))))
+    overlap = (
+        (F.col("bbox_4326")[0] <= F.col("chunk_bbox_4326")[2])
+        & (F.col("bbox_4326")[2] >= F.col("chunk_bbox_4326")[0])
+        & (F.col("bbox_4326")[1] <= F.col("chunk_bbox_4326")[3])
+        & (F.col("bbox_4326")[3] >= F.col("chunk_bbox_4326")[1]))
+    pairs = (t.join(c, "cell").drop("cell").filter(overlap)
+             .select("raster_id", "row_off", "col_off", "z", "x", "y").distinct())
+    grouped = pairs.groupBy("raster_id", "row_off", "col_off").agg(
+        F.collect_list(F.struct("z", "x", "y")).alias("tile_keys"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    grouped = grouped.repartition(n_parts)
+    withtiles = chunks.join(grouped, ["raster_id", "row_off", "col_off"])
+    dist = (withtiles.select(F.spark_partition_id().alias("p"))
+            .groupBy("p").count().collect())
+    # 16 chunks round-robined: no single partition may hold them all
+    assert len(dist) > 1, dist
+    assert max(r["count"] for r in dist) < 16, dist
+
+
 def test_warp_chunks_pair_discovery_is_payload_free(spark):
     """The chunk-anchored plan's pair-discovery join must not reference
     the chunk payload column — only the final single exchange carries it."""
