@@ -57,6 +57,14 @@ def options_variants():
         # expr + round exercises the reference's thenable process
         # pipeline (geowarp.js:257: quickResolve(expr(...)).then(round))
         ("expr_round", "near", {"expr_name": "half", "round": True}),
+        # layout surface (L3): flat-interleaved and nested physical
+        # layouts on BOTH sides of the kernel (test.js:205,288); results
+        # compare on the canonical (band,row,column) block either way
+        ("layout_flat", "near", {"in_layout": "[row,column,band]",
+                                 "out_layout": "[row,column,band]"}),
+        ("layout_rcb", "median", {"out_layout": "[row][column][band]"}),
+        ("layout_brc", "near", {"in_layout": "[row][column][band]",
+                                "out_layout": "[band][row][column]"}),
     ]
 
 

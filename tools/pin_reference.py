@@ -124,8 +124,15 @@ def python_serial(fx, jobs):
         kw = py_opts(job.get("opts", {}))
         if "in_no_data" not in kw:
             kw["in_no_data"] = fx["no_data"]
+        in_data = fx["data"].astype(np.float64)
+        if "in_layout" in kw:
+            # exercise the layout adapter path: hand the kernel the same
+            # nested/interleaved physical structure the JS side gets
+            from geowarp_spark.kernels.layout import from_brc
+
+            in_data = from_brc(fx["data"], kw["in_layout"])
         res = warp(
-            in_data=fx["data"].astype(np.float64),
+            in_data=in_data,
             in_bbox=in_bbox,
             in_geotransform=list(full_gt),
             in_srs=fx["srs"],

@@ -43,6 +43,45 @@ const TYPED = {
   Uint32Array, Int32Array, Float32Array, Float64Array
 };
 
+const xdim = require("xdim");
+
+// canonical per-band flat arrays ("[band][row,column]") -> any layout
+const fromCanonical = (bands, layout, sizes, typeName) => {
+  if (layout === "[band][row,column]") return bands;
+  const { data } = xdim.prepareData({
+    layout, sizes, arrayTypes: new Array(sizes.band).fill(typeName)
+  });
+  const update = xdim.prepareUpdate({ data, layout, sizes });
+  const W = sizes.column;
+  for (let band = 0; band < sizes.band; band++) {
+    const src = bands[band];
+    for (let row = 0; row < sizes.row; row++) {
+      const base = row * W;
+      for (let column = 0; column < W; column++) {
+        update({ point: { band, row, column }, value: src[base + column] });
+      }
+    }
+  }
+  return data;
+};
+
+// any layout -> canonical per-band flat plain arrays
+const toCanonical = (data, layout, sizes) => {
+  const select = xdim.prepareSelect({ data, layout, sizes });
+  const out = [];
+  const W = sizes.column;
+  for (let band = 0; band < sizes.band; band++) {
+    const buf = new Array(sizes.row * W);
+    for (let row = 0; row < sizes.row; row++) {
+      for (let column = 0; column < W; column++) {
+        buf[row * W + column] = select({ point: { band, row, column } }).value;
+      }
+    }
+    out.push(buf);
+  }
+  return out;
+};
+
 const main = () => {
   const chunks = [];
   process.stdin.on("data", d => chunks.push(d));
@@ -67,14 +106,19 @@ const main = () => {
         if (!opts.expr) throw new Error("unknown expr_name " + opts.expr_name);
         delete opts.expr_name;
       }
+      const inLayout = opts.in_layout || "[band][row,column]";
+      const outLayout = opts.out_layout || "[band][row,column]";
+      delete opts.in_layout;
+      delete opts.out_layout;
+      const inSizes = { band: bands, row: spec.in_height, column: spec.in_width };
       const options = {
-        in_data,
+        in_data: fromCanonical(in_data, inLayout, inSizes, spec.dtype),
         in_bbox: spec.in_bbox,
         in_srs: spec.in_srs,
         in_width: spec.in_width,
         in_height: spec.in_height,
-        in_layout: "[band][row,column]",
-        out_layout: "[band][row,column]",
+        in_layout: inLayout,
+        out_layout: outLayout,
         out_bbox: job.out_bbox,
         out_srs: job.out_srs,
         out_width: job.out_width,
@@ -103,10 +147,13 @@ const main = () => {
           JSON.stringify({ z: job.z, x: job.x, y: job.y, method: job.method,
                            config: job.config }));
       }
+      const outBands = res.out_pixel_depth || res.out_bands.length;
+      const outSizes = { band: outBands, row: job.out_height, column: job.out_width };
+      const canon = toCanonical(res.data, outLayout, outSizes);
       results.push({
         z: job.z, x: job.x, y: job.y, method: job.method,
-        bands: res.data.length,
-        data: res.data.map(band => Array.from(band))
+        bands: outBands,
+        data: canon.map(band => Array.from(band))
       });
     }
     process.stdout.write(JSON.stringify({ results }));
