@@ -65,6 +65,12 @@ def options_variants():
         ("layout_rcb", "median", {"out_layout": "[row][column][band]"}),
         ("layout_brc", "near", {"in_layout": "[row][column][band]",
                                 "out_layout": "[band][row][column]"}),
+        # R6 turbo wiring (geowarp.js:538-547): the approximate
+        # inverse-pixel grid fit + Math.round — the proj-turbo shim
+        # implements the same step-16 lattice fit as the Python kernel's
+        # _turbo_inverse, so this pins WHERE the reference applies turbo
+        # (and its rounding), bit-for-bit
+        ("turbo_near", "near", {"turbo": True}),
     ]
 
 
