@@ -847,9 +847,9 @@ def q_warp_reference(spark, sf_dir):
 
 def q_warp_reference_reproj(spark, sf_dir):
     """Reference-executed pin, REPROJECTED config (rgb_smallscale 4326 ->
-    3857 z10 tiles, near + median): additionally proves V8-vs-numpy
-    transcendental agreement on this grid (measured 100% bit-identity by
-    tools/pin_reference.py before pinning)."""
+    3857 z10 tiles, all 8 resampling methods): additionally proves
+    V8-vs-numpy transcendental agreement on this grid (measured 100%
+    bit-identity by tools/pin_reference.py before pinning)."""
     from geowarp_spark.operators.warp_tiles import (
         fixture_chunk_records, tiles_df, warp_tiles_broadcast)
     from geowarp_spark.sources.fixtures import build_fixture
@@ -857,8 +857,11 @@ def q_warp_reference_reproj(spark, sf_dir):
     fx = build_fixture("rgb_smallscale")
     tiles = tiles_df(spark, [10], bbox_4326=[80.0, 6.5, 81.2, 7.6])
     recs = fixture_chunk_records(fx, chunk=256, halo=8)
-    out = warp_tiles_broadcast(tiles, recs, method="near", out_size=64).unionByName(
-        warp_tiles_broadcast(tiles, recs, method="median", out_size=64))
+    out = None
+    for m in ["near", "bilinear", "median", "mode", "min", "max",
+              "mean", "mode-median"]:
+        part = warp_tiles_broadcast(tiles, recs, method=m, out_size=64)
+        out = part if out is None else out.unionByName(part)
     return _warp_tile_stats(out)
 
 

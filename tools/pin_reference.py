@@ -61,7 +61,7 @@ CONFIGS = {
     "same_srs": dict(raster_id="rgba_webmerc", zoom=9, out_size=64,
                      bbox=[-4.0, -4.0, 0.5, 0.5], methods=METHODS),
     "reproj": dict(raster_id="rgb_smallscale", zoom=10, out_size=64,
-                   bbox=[80.0, 6.5, 81.2, 7.6], methods=["near", "median"]),
+                   bbox=[80.0, 6.5, 81.2, 7.6], methods=METHODS),
 }
 
 
