@@ -35,3 +35,35 @@ def test_reference_execution_micro_parity():
         jblock = np.array(jres["data"], dtype=np.dtype(fx["dtype"])).reshape(
             jres["bands"], 32, 32)
         assert zlib.crc32(jblock.tobytes()) == zlib.crc32(pblock.tobytes()), job
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node not available")
+def test_reference_execution_skewed_geotransform_parity():
+    """Nonzero skew terms: the real geowarp.js warps the skewed_sar
+    fixture through its injected 6-param affine (geowarp.js:304-306)
+    bit-identically to the Python kernel — pins the skewed inverse and
+    its interaction with sample-box snapping (test.js skew cases)."""
+    from pin_reference import python_serial, run_reference
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("skewed_sar")  # srs 32760, gt skew terms 0.4 / 0.3
+    xmin, ymin, xmax, ymax = fx["bbox"]
+    w3, h3 = (xmax - xmin) / 3.0, (ymax - ymin) / 3.0
+    jobs = []
+    for method in ("near", "median", "bilinear"):
+        for i in range(3):
+            for j in range(3):
+                jobs.append({
+                    "z": 0, "x": i, "y": j,
+                    "out_bbox": [xmin + i * w3, ymin + j * h3,
+                                 xmin + (i + 1) * w3, ymin + (j + 1) * h3],
+                    "out_srs": fx["srs"], "out_width": 32, "out_height": 32,
+                    "method": method,
+                })
+    js = run_reference(fx, jobs)
+    py = python_serial(fx, jobs)
+    n_match = sum(
+        zlib.crc32(np.array(jres["data"], dtype=np.dtype(fx["dtype"])).reshape(
+            jres["bands"], 32, 32).tobytes()) == zlib.crc32(pblock.tobytes())
+        for jres, pblock in zip(js, py))
+    assert n_match == len(jobs), f"{n_match}/{len(jobs)} skewed warps identical"

@@ -97,6 +97,7 @@ def run_reference(fx, jobs):
         "in_width": fx["width"],
         "in_height": fx["height"],
         "in_no_data": fx["no_data"],
+        "in_geotransform": fx["geotransform"],  # None -> unskewed default
         "dtype": dtype_map[str(fx["data"].dtype)],
         "jobs": jobs,
     }

@@ -117,6 +117,9 @@ const main = () => {
         in_srs: spec.in_srs,
         in_width: spec.in_width,
         in_height: spec.in_height,
+        // skewed rasters need the full 6-param transform (geowarp.js:304
+        // only synthesizes an unskewed one from the bbox)
+        ...(spec.in_geotransform ? { in_geotransform: spec.in_geotransform } : {}),
         in_layout: inLayout,
         out_layout: outLayout,
         out_bbox: job.out_bbox,
