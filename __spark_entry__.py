@@ -686,6 +686,35 @@ def q_extract_invariant(spark, sf_dir):
     )
 
 
+def q_corpus_filter(spark, sf_dir):
+    """Composite training-corpus cleaning pipeline — the operators
+    composed the way a real 100 TB data pipeline chains them: exact-dedup
+    keeper join (anti-join drops non-keepers), quality floor, language
+    agreement, per-language survivor stats.  All JVM-side: one narrow
+    projection per doc + one broadcast-able keeper join + one final
+    aggregate."""
+    from geowarp_spark.operators.dedup import exact_dedup
+    from geowarp_spark.operators.text import lang_id, quality_score
+
+    _views(spark, sf_dir)
+    docs = spark.table("documents")
+    keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
+    q = quality_score(docs).select("doc_id", "quality")
+    lid = lang_id(docs).select("doc_id", "pred_lang")
+    kept = (
+        docs.join(keepers, "doc_id")          # dedup: keepers only
+        .join(q, "doc_id").filter(F.col("quality") >= 0.4)
+        .join(lid, "doc_id")
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+        .cast("long").alias("n_lang_match"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )
+
+
 def q_rasterize_grid(spark, sf_dir):  # raster<->vector: per-tile-pixel counts
     from geowarp_spark.operators.pages_pipeline import pixel_counts
 
@@ -1177,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf": q_ivf,
         "frame_sample": q_frame_sample,
         "rasterize_grid": q_rasterize_grid,
+        "corpus_filter": q_corpus_filter,
         # rows-only (no SQL oracle): numpy warp kernels / Arrow pipelines
         "warp_tiles": q_warp_tiles,
         "warp_boxstats": q_warp_boxstats,
@@ -1413,6 +1443,44 @@ def oracle_sql() -> dict[str, str]:
         "rasterize_grid": _RASTERIZE_ORACLE.format(
             fine=_cell_sql("lon", "lat", 12), coarse=_cell_sql("lon", "lat", 6)
         ),
+        "corpus_filter": f"""
+            WITH keep AS (SELECT min(doc_id) AS doc_id
+                          FROM documents GROUP BY md5(text)),
+            qf AS (SELECT doc_id,
+                          CAST(length(text) AS DOUBLE) AS chars,
+                          CAST(len(string_split_regex(text, ' +')) AS DOUBLE) AS toks,
+                          CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS digits,
+                          CAST(len(list_filter(string_split_regex(lower(text), ' +'),
+                                               w -> w IN ({stop_list}))) AS DOUBLE) AS stops
+                   FROM documents),
+            q AS (SELECT doc_id,
+                         round(CASE WHEN chars / greatest(toks, 1.0) BETWEEN 3 AND 12 THEN 0.4 ELSE 0.0 END
+                               + CASE WHEN stops / greatest(toks, 1.0) >= 0.05 THEN 0.4 ELSE 0.0 END
+                               + CASE WHEN digits / greatest(chars, 1.0) <= 0.3 THEN 0.2 ELSE 0.0 END, 2) AS quality
+                  FROM qf),
+            t AS (SELECT doc_id, lang, n_chars,
+                         string_split_regex(lower(text), ' +') AS ws
+                  FROM documents),
+            h AS (SELECT doc_id, lang, n_chars, {hits_cols} FROM t),
+            l AS (SELECT doc_id, lang, n_chars,
+                         CASE WHEN en + de + fr + es + ja = 0 THEN 'und'
+                              WHEN de >= en AND de >= es AND de >= fr AND de >= ja THEN 'de'
+                              WHEN en >= es AND en >= fr AND en >= ja THEN 'en'
+                              WHEN es >= fr AND es >= ja THEN 'es'
+                              WHEN fr >= ja THEN 'fr'
+                              ELSE 'ja' END AS pred_lang
+                  FROM h),
+            kept AS (SELECT l.doc_id, l.lang, l.n_chars, l.pred_lang
+                     FROM l
+                     JOIN keep ON keep.doc_id = l.doc_id
+                     JOIN q ON q.doc_id = l.doc_id
+                     WHERE q.quality >= 0.4)
+            SELECT lang, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+                   CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_match,
+                   CAST(min(doc_id) AS BIGINT) AS first_doc
+            FROM kept GROUP BY lang
+        """,
         "similarity_lsh": _lsh_oracle_sql(k=10, n_planes=8),
         "multimodal": _MULTIMODAL_ORACLE,
         "pip_polygon_op": _PIP_TRIANGLE_SQL,
