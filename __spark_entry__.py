@@ -809,6 +809,22 @@ def q_warp_boxstats_chunks(spark, sf_dir):
     return _warp_tile_stats(out)
 
 
+def q_warp_vectorize_chunks(spark, sf_dir):
+    """The forward-paint vectorize kernel under the CHUNK-ANCHORED plan
+    (the last kernel x scale-plan cell without its own oracle row), vs
+    the SAME pinned serial expectation as q_warp_vectorize."""
+    from geowarp_spark.operators.warp_tiles import (
+        chunks_to_df, tiles_df, warp_tiles)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgb_smallscale")
+    tiles = tiles_df(spark, [14], bbox_4326=[80.0, 7.0, 80.12, 7.12])
+    chunks = chunks_to_df(spark, fx, chunk=128, halo=8)
+    out = warp_tiles(tiles, chunks, method="near-vectorize", out_size=256,
+                     join_strategy="chunks", chunk=128, halo=8)
+    return _warp_tile_stats(out)
+
+
 def q_warp_cutline(spark, sf_dir):
     """Cutline clipping + out_resolution sample replication under the
     chunk-anchored plan (VERDICT r2 missing #2), vs its own pinned serial
@@ -1215,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_tiles_chunks": q_warp_tiles_chunks,
         "warp_boxstats_chunks": q_warp_boxstats_chunks,
         "warp_cutline": q_warp_cutline,
+        "warp_vectorize_chunks": q_warp_vectorize_chunks,
         "warp_reference": q_warp_reference,
         "warp_reference_reproj": q_warp_reference_reproj,
         "warp_reference_options": q_warp_reference_options,
@@ -1523,6 +1540,10 @@ def oracle_sql() -> dict[str, str]:
         "warp_cutline": f"""
             SELECT z, x, y, method, bands, valid_px, payload_crc
             FROM read_parquet('{_FIXTURES_DIR}/expected_warp_cutline.parquet')
+        """,
+        "warp_vectorize_chunks": f"""
+            SELECT z, x, y, method, bands, valid_px, payload_crc
+            FROM read_parquet('{_FIXTURES_DIR}/expected_warp_vectorize.parquet')
         """,
         # pinned by EXECUTING the real reference engine (geowarp.js via
         # node with shimmed deps) — tools/pin_reference.py
