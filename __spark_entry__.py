@@ -980,6 +980,44 @@ _MULTIMODAL_ORACLE = """
 """
 
 
+def q_media_resize(spark, sf_dir):
+    """Media resize THROUGH THE WARP KERNEL (decode real PNG -> near
+    resample in pixel space): the multimodal pipeline reuses the raster
+    engine instead of a second resampler.  Nearest with pixel-center
+    mapping picks source index (2r+1)*w + (2c+1), so DuckDB recomputes
+    every resized pixel sum analytically — a decode or kernel-mapping
+    fault breaks px_sum."""
+    from geowarp_spark.operators.multimodal import attach_media, resize_media
+
+    _views(spark, sf_dir)
+    media = attach_media(spark.table("documents"))
+    return resize_media(media, factor=2).select(
+        "doc_id", "media_type",
+        F.col("out_h").cast("long").alias("out_h"),
+        F.col("out_w").cast("long").alias("out_w"),
+        "px_sum")
+
+
+_MEDIA_RESIZE_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
+    t AS (SELECT 'image' AS media_type, 0 AS m, 8 AS w, 8 AS h
+          UNION ALL SELECT 'video', 2, 16, 8),
+    px AS (SELECT t.media_type, d.doc_id, t.w, t.h,
+                  unnest(range((t.h // 2) * (t.w // 2))) AS i2
+           FROM d JOIN t ON d.m = t.m),
+    v AS (SELECT media_type, doc_id,
+                 CAST(h // 2 AS BIGINT) AS out_h,
+                 CAST(w // 2 AS BIGINT) AS out_w,
+                 (doc_id * 7919
+                  + ((2 * (i2 // (w // 2)) + 1) * w
+                     + (2 * (i2 % (w // 2)) + 1)) * 104729) % 256 AS val
+          FROM px)
+    SELECT doc_id, media_type, out_h, out_w,
+           CAST(sum(val) AS BIGINT) AS px_sum
+    FROM v GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_similarity_lsh(spark, sf_dir):  # ANN scale path — deterministic LSH,
     # so the full plan (buckets, multiprobe, starved-query fallback, exact
     # re-rank) is replayed by the DuckDB oracle
@@ -1223,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "rasterize_grid": q_rasterize_grid,
         "corpus_filter": q_corpus_filter,
+        "media_resize": q_media_resize,
         # rows-only (no SQL oracle): numpy warp kernels / Arrow pipelines
         "warp_tiles": q_warp_tiles,
         "warp_boxstats": q_warp_boxstats,
@@ -1504,6 +1543,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_oracle(),
         "ivf": _ivf_oracle_sql(),
         "frame_sample": _FRAME_SAMPLE_ORACLE,
+        "media_resize": _MEDIA_RESIZE_ORACLE,
         "minhash_full": _minhash_full_oracle(),
         "minhash_pairs_full": _minhash_pairs_full_oracle(),
         "simhash_full": _simhash_full_oracle(),

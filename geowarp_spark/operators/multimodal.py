@@ -129,6 +129,52 @@ def extract_features(media: DataFrame, batch_hint=1024) -> DataFrame:
     return media.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, out_h int, out_w int, px_sum bigint"
+)
+
+
+def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode + RESIZE raster media through the actual warp kernel
+    (method='near', identity SRS, pixel-space bbox): the media pipeline
+    reuses the raster engine rather than growing a second resampler.
+    Nearest with pixel-center mapping picks source pixel
+    (factor*r + factor//2, factor*c + factor//2) per out pixel, so the
+    result is analytically checkable by the DuckDB oracle.  Audio rows
+    pass through untouched (no spatial axes)."""
+    from ..kernels.warp import warp
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "out_h": [], "out_w": [],
+                   "px_sum": []}
+            for did, mt, w, h, payload in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["width"],
+                    pdf["height"], pdf["payload"]):
+                if mt not in ("image", "video"):
+                    continue
+                px = _decode(payload, mt).reshape(1, int(h), int(w))
+                oh, ow = int(h) // factor, int(w) // factor
+                res = warp(
+                    in_data=px.astype(np.float64),
+                    in_bbox=[0.0, 0.0, float(w), float(h)],
+                    in_srs=0, out_srs=0,
+                    in_height=int(h), in_width=int(w),
+                    out_bbox=[0.0, 0.0, float(w), float(h)],
+                    out_width=ow, out_height=oh,
+                    method="near", out_dtype="uint8",
+                )
+                out["doc_id"].append(int(did))
+                out["media_type"].append(mt)
+                out["out_h"].append(oh)
+                out["out_w"].append(ow)
+                out["px_sum"].append(int(res["block"].sum()))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n=5) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame index —
     pure JVM explode of a sequence, ready for a real per-frame decoder."""
