@@ -472,6 +472,28 @@ def test_multimodal_plumbing(spark, sf_dir):
     assert fs.count() >= 10
 
 
+def test_media_resize_matches_direct_slicing(spark, sf_dir):
+    """resize_media (decode -> warp-kernel near resample) equals direct
+    numpy decimation at the pixel centers (px[1::2, 1::2] for factor 2)."""
+    import numpy as np
+
+    from geowarp_spark.operators.multimodal import (
+        _decode, _encode_payload, attach_media, resize_media)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(9)
+    media = attach_media(docs)
+    got = {r["doc_id"]: (r["media_type"], r["out_h"], r["out_w"], r["px_sum"])
+           for r in resize_media(media, factor=2).collect()}
+    assert got, "no raster media rows"
+    for did, (mt, oh, ow, s) in got.items():
+        kind, w, h, payload = _encode_payload(int(did))
+        assert kind == mt
+        px = _decode(payload, mt).reshape(h, w)
+        expect = px[1::2, 1::2]
+        assert (oh, ow) == expect.shape
+        assert s == int(expect.astype(np.int64).sum()), did
+
+
 def test_multimodal_real_decode_and_corruption(spark, sf_dir):
     """The decode is real: pixel sums match the analytic formula, and a
     corrupted payload (flipped byte inside IDAT) fails its CRC check ->
