@@ -151,7 +151,14 @@ def _job_tiles(spark, sf_dir, strategy="broadcast_map"):
     # z10-only to keep 15 interleaved legs inside the session budget
     # (z10+z11 measured 400 s at local[8] — x5 trials x3 levels is
     # hours).  The broadcast job keeps z10-12 for round-2 comparability.
-    kw = dict(chunk=128, zooms=[10]) if strategy == "chunks" else dict(zooms=[10, 11, 12])
+    # chunks leg pyramid: z10+z11.  A z10-only leg finishes in ~40-60 s
+    # and an Amdahl fit on its walls shows ~9 s of per-leg fixed cost
+    # (driver fixture prep + JVM/python-pool remainder + broadcast build
+    # + collect) — at that duration the fixed cost caps any measured
+    # speedup near 2.5x no matter how the plan scales.  z10+z11 carries
+    # ~5x the parallel work, amortizing the fixed component the same way
+    # a real long-running job does.
+    kw = dict(chunk=128, zooms=[10, 11]) if strategy == "chunks" else dict(zooms=[10, 11, 12])
     out = warp_fixture_to_tiles(spark, fx, method="median",
                                 out_size=128, join_strategy=strategy, **kw)
     # hash the tile payloads executor-side; only (key, md5) reaches the driver
