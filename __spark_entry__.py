@@ -890,6 +890,22 @@ def q_warp_reference(spark, sf_dir):
     return _warp_tile_stats(out)
 
 
+def q_warp_reference_chunks(spark, sf_dir):
+    """The CHUNK-ANCHORED plan against bytes the REAL reference produced
+    (median slice of the same_srs pinned set): closes the chain
+    geowarp.js output == broadcast plan == the 100 TB scale plan."""
+    from geowarp_spark.operators.warp_tiles import (
+        chunks_to_df, tiles_df, warp_tiles)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgba_webmerc")
+    tiles = tiles_df(spark, [9], bbox_4326=[-4.0, -4.0, 0.5, 0.5])
+    chunks = chunks_to_df(spark, fx, chunk=256, halo=8)
+    out = warp_tiles(tiles, chunks, method="median", out_size=64,
+                     join_strategy="chunks", chunk=256, halo=8)
+    return _warp_tile_stats(out)
+
+
 def q_warp_reference_reproj(spark, sf_dir):
     """Reference-executed pin, REPROJECTED config (rgb_smallscale 4326 ->
     3857 z10 tiles, all 8 resampling methods): additionally proves
@@ -1272,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_cutline": q_warp_cutline,
         "warp_vectorize_chunks": q_warp_vectorize_chunks,
         "warp_reference": q_warp_reference,
+        "warp_reference_chunks": q_warp_reference_chunks,
         "warp_reference_reproj": q_warp_reference_reproj,
         "warp_reference_options": q_warp_reference_options,
         "multimodal": q_multimodal,
@@ -1590,6 +1607,11 @@ def oracle_sql() -> dict[str, str]:
         "warp_reference": f"""
             SELECT z, x, y, method, bands, valid_px, payload_crc
             FROM read_parquet('{_FIXTURES_DIR}/expected_reference_same_srs.parquet')
+        """,
+        "warp_reference_chunks": f"""
+            SELECT z, x, y, method, bands, valid_px, payload_crc
+            FROM read_parquet('{_FIXTURES_DIR}/expected_reference_same_srs.parquet')
+            WHERE method = 'median'
         """,
         "warp_reference_reproj": f"""
             SELECT z, x, y, method, bands, valid_px, payload_crc
