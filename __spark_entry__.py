@@ -876,13 +876,14 @@ def q_warp_reference(spark, sf_dir):
         fixture_chunk_records, tiles_df, warp_tiles_broadcast)
     from geowarp_spark.sources.fixtures import build_fixture
 
+    from geowarp_spark.sources.reference_configs import REFERENCE_METHODS
+
     fx = build_fixture("rgba_webmerc")
     tiles = tiles_df(spark, [9], bbox_4326=[-4.0, -4.0, 0.5, 0.5])
     recs = fixture_chunk_records(fx, chunk=256, halo=8)
     outs = [
         warp_tiles_broadcast(tiles, recs, method=m, out_size=64)
-        for m in ["near", "bilinear", "median", "mode", "min", "max",
-                  "mean", "mode-median"]
+        for m in REFERENCE_METHODS
     ]
     out = outs[0]
     for o in outs[1:]:
@@ -918,9 +919,10 @@ def q_warp_reference_reproj(spark, sf_dir):
     fx = build_fixture("rgb_smallscale")
     tiles = tiles_df(spark, [10], bbox_4326=[80.0, 6.5, 81.2, 7.6])
     recs = fixture_chunk_records(fx, chunk=256, halo=8)
+    from geowarp_spark.sources.reference_configs import REFERENCE_METHODS
+
     out = None
-    for m in ["near", "bilinear", "median", "mode", "min", "max",
-              "mean", "mode-median"]:
+    for m in REFERENCE_METHODS:
         part = warp_tiles_broadcast(tiles, recs, method=m, out_size=64)
         out = part if out is None else out.unionByName(part)
     return _warp_tile_stats(out)

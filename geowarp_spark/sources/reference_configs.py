@@ -14,6 +14,11 @@ callable; everything else is name-identical by design).
 
 from __future__ import annotations
 
+# all resampling methods the reference dispatches (geowarp.js:845-868)
+REFERENCE_METHODS = ["near", "bilinear", "median", "mode", "min", "max",
+                     "mean", "mode-median", "mode-min", "mode-max",
+                     "mode-mean"]
+
 OPTIONS_BBOX = [-2.0, -2.0, -0.1, -0.1]  # ~3x3 z9 tiles over rgba_webmerc
 OPTIONS_ZOOM = 9
 OPTIONS_OUT_SIZE = 64

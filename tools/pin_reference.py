@@ -54,7 +54,7 @@ from pin_expected import _tile_grid, _tile_bbox_4326_jvm  # noqa: E402
 FIXTURES_DIR = os.path.join(REPO, "fixtures")
 SHIM_DIR = os.path.join(REPO, "tools", "refshim")
 
-METHODS = ["near", "bilinear", "median", "mode", "min", "max", "mean", "mode-median"]
+from geowarp_spark.sources.reference_configs import REFERENCE_METHODS as METHODS  # noqa: E402
 
 # must mirror __spark_entry__.q_warp_reference / q_warp_reference_reproj
 CONFIGS = {
