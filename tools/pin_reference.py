@@ -2,14 +2,20 @@
 (/root/reference/geowarp.js, run via node with its npm deps replaced by
 the shims in tools/refshim/node_modules — VERDICT r2 next #7).
 
-Two configs:
+Three configs:
   - SAME-SRS (rgba_webmerc 3857 -> z9 3857 tiles): no projection math at
     all, so the only float operations are affine arithmetic with
     identical operation order in V8 and numpy — bit-identity is a
-    meaningful claim here, across 8 resampling methods.
-  - REPROJECTED (rgb_smallscale 4326 -> 3857 tiles): additionally
-    exercises V8-vs-numpy transcendental (sin/atanh/atan/exp) agreement;
-    agreement is MEASURED and reported, pinned only if exact.
+    meaningful claim here, across all 11 resampling methods.
+  - REPROJECTED (rgb_smallscale 4326 -> 3857 tiles, all 11 methods):
+    additionally exercises V8-vs-numpy transcendental
+    (sin/atanh/atan/exp) agreement; agreement is MEASURED and reported,
+    pinned only if exact.
+  - OPTIONS (20 variants, shared list in
+    geowarp_spark/sources/reference_configs.py): cutline both
+    strategies, out_resolution incl. non-dyadic, row ranges, band
+    reorder, no-data skip/all, out_no_data, JS rounding, expr pipeline,
+    forced vectorize, physical layouts on both kernel sides, turbo.
 
 For each config this script:
   1. runs geowarp.js over every (tile, method) job;
