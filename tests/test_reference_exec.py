@@ -38,6 +38,31 @@ def test_reference_execution_micro_parity():
 
 
 @pytest.mark.skipif(shutil.which("node") is None, reason="node not available")
+def test_reference_execution_custom_reducer_parity():
+    """A7 custom reducer ('first' of the window's valid values in scan
+    order, test.js:248) executed by the real geowarp.js — both engines
+    call the injected function with the same filtered window, so the
+    contract (not just builtin stats) is pinned."""
+    from pin_reference import python_serial, run_reference
+    from geowarp_spark.grid.tiles import tile_to_bbox_3857
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgba_webmerc")
+    jobs = [{
+        "z": 9, "x": 254 + i, "y": 254,
+        "out_bbox": [float(v) for v in tile_to_bbox_3857(254 + i, 254, 9)],
+        "out_srs": 3857, "out_width": 32, "out_height": 32,
+        "method": "__custom_first__",
+    } for i in range(3)]
+    js = run_reference(fx, jobs)
+    py = python_serial(fx, jobs)
+    for job, jres, pblock in zip(jobs, js, py):
+        jblock = np.array(jres["data"], dtype=np.dtype(fx["dtype"])).reshape(
+            jres["bands"], 32, 32)
+        assert zlib.crc32(jblock.tobytes()) == zlib.crc32(pblock.tobytes()), job
+
+
+@pytest.mark.skipif(shutil.which("node") is None, reason="node not available")
 def test_reference_execution_skewed_geotransform_parity():
     """Nonzero skew terms: the real geowarp.js warps the skewed_sar
     fixture through its injected 6-param affine (geowarp.js:304-306)

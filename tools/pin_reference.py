@@ -131,6 +131,9 @@ def python_serial(fx, jobs):
         kw = py_opts(job.get("opts", {}))
         if "in_no_data" not in kw:
             kw["in_no_data"] = fx["no_data"]
+        method = job["method"]
+        if method == "__custom_first__":  # named custom reducer (A7)
+            method = lambda vals: vals[0]  # noqa: E731
         in_data = fx["data"].astype(np.float64)
         if "in_layout" in kw:
             # exercise the layout adapter path: hand the kernel the same
@@ -146,7 +149,7 @@ def python_serial(fx, jobs):
             in_height=h, in_width=w,
             out_bbox=job["out_bbox"], out_srs=job["out_srs"],
             out_width=job["out_width"], out_height=job["out_height"],
-            method=job["method"],
+            method=method,
             out_dtype=fx["dtype"],
             **kw,
         )

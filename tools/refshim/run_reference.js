@@ -106,6 +106,10 @@ const main = () => {
         if (!opts.expr) throw new Error("unknown expr_name " + opts.expr_name);
         delete opts.expr_name;
       }
+      // custom-reducer methods are function-valued (geowarp.js:849-850);
+      // named reducers mirror the Python side (pin_reference.py)
+      let method = job.method;
+      if (method === "__custom_first__") method = ({ values }) => values[0];
       const inLayout = opts.in_layout || "[band][row,column]";
       const outLayout = opts.out_layout || "[band][row,column]";
       delete opts.in_layout;
@@ -126,7 +130,7 @@ const main = () => {
         out_srs: job.out_srs,
         out_width: job.out_width,
         out_height: job.out_height,
-        method: job.method,
+        method,
         out_array_types: new Array(bands).fill(spec.dtype),
         ...opts
       };
