@@ -24,15 +24,30 @@ def cosine_expr(a_col: str, b_col: str):
     return F.expr(f"({dot}) / nullif(({na}) * ({nb}), 0.0)")
 
 
-def lsh_bucket_expr(vec_col: str, n_planes=12):
-    """Sign-bit LSH bucket id from deterministic integer hyperplanes:
-    plane[p][i] = ((p * 31 + i * 17) % 7) - 3  (pure integer arithmetic —
-    identical in any engine, no RNG seed to ship)."""
+def _plane_weight_sql(p: int, seed: int) -> str:
+    """Deterministic integer hyperplane weight for (plane p, dim i):
+    seed 0 is the original pinned family ((p*31 + i*17) % 7) - 3; a
+    nonzero seed adds a term NONLINEAR in i (i*i % 19) so different
+    seeds give genuinely different hyperplanes — the base family has
+    period 7 in p, so 'more planes' alone would just repeat the same 7
+    hyperplanes and banded bucketings would be perfectly correlated."""
+    if seed == 0:
+        return f"(({p} * 31 + i * 17) % 7) - 3"
+    return f"(({p} * 31 + i * 17 + {seed} * ((i * i) % 19 + 1) * 23) % 7) - 3"
+
+
+def lsh_bucket_expr(vec_col: str, n_planes=12, seed=0):
+    """Sign-bit LSH bucket id from deterministic integer hyperplanes
+    (pure integer arithmetic — identical in any engine, no RNG seed to
+    ship).  ``seed`` selects an independent plane family so banded
+    callers (dedup.embedding_near_dups) get uncorrelated bucketings per
+    band; seed=0 reproduces the original pinned family."""
     bits = []
     for p in range(n_planes):
+        w = _plane_weight_sql(p, seed)
         dot = (
             f"aggregate(zip_with({vec_col}, transform(sequence(0, size({vec_col}) - 1), "
-            f"i -> (({p} * 31 + i * 17) % 7) - 3), (x, w) -> CAST(x AS DOUBLE) * w), "
+            f"i -> {w}), (x, w) -> CAST(x AS DOUBLE) * w), "
             f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
