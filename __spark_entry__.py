@@ -121,12 +121,10 @@ def q_uniq_desc(spark, sf_dir):  # O2: distinct + sort desc with rank
     """)
 
 
-def q_histogram(spark, sf_dir):  # A11: value histogram
-    _views(spark, sf_dir)
-    return spark.sql("""
-        SELECT CAST(floor(l_quantity) AS BIGINT) AS bucket, count(*) AS n
-        FROM lineitem GROUP BY CAST(floor(l_quantity) AS BIGINT)
-    """)
+# (the former q_histogram driver row was an inline SQL groupBy proving
+# only Spark built-ins; its slot now carries q_warp_tiff_ingest.  The
+# A11 histogram OPERATOR (kernels.stats.quick_histogram) keeps its own
+# Spark tests — tests/test_sinks_and_cache.py.)
 
 
 def q_nodata_map(spark, sf_dir):  # P3 + F10: sentinel map + half-up rounding
@@ -782,6 +780,40 @@ def q_warp_vectorize_chunks(spark, sf_dir):
     return _warp_tile_stats(out)
 
 
+def q_warp_tiff_ingest(spark, sf_dir):
+    """REAL-FILE ingestion vs the SAME pinned serial expectation as
+    q_warp_tiles: the fixture is encoded as a spec-valid GeoTIFF
+    (deflate-compressed, tiled layout, GeoTIFF keys), read back through
+    spark.read.format('binaryFile') + Arrow-batched pure-Python TIFF
+    decode (sources/tiff.py — VERDICT r3 next #4), chunked+haloed, and
+    warped under the chunk-anchored plan.  Any decode fault (IFD walk,
+    tile assembly, inflate, geokey/geotransform recovery) breaks the
+    payload CRCs.  Mirrors the reference harness's GeoTIFF ingestion
+    (test.js:37-40, windowed reads test.js:84-94)."""
+    import tempfile
+
+    from geowarp_spark.kernels.bbox import reproject_bbox
+    from geowarp_spark.kernels.proj import transformer
+    from geowarp_spark.operators.warp_tiles import tiles_df, warp_tiles
+    from geowarp_spark.sources.fixtures import build_fixture
+    from geowarp_spark.sources.tiff import tiff_chunks_df, write_tiff
+
+    fx = build_fixture("rgb_smallscale")
+    d = tempfile.mkdtemp(prefix="geowarp_tiff_")
+    path = os.path.join(d, "rgb_smallscale.tif")
+    with open(path, "wb") as f:
+        f.write(write_tiff(fx, compression="deflate", layout="tiles"))
+    # identical tile cover to warp_fixture_to_tiles(zooms=[9, 10])
+    inv = transformer(fx["srs"], 4326)
+    bb = reproject_bbox(fx["bbox"], inv.transform, density=16,
+                        nan_strategy="skip")
+    tiles = tiles_df(spark, [9, 10], bbox_4326=bb)
+    chunks = tiff_chunks_df(spark, path, chunk=128, halo=8)
+    out = warp_tiles(tiles, chunks, method="near", out_size=128,
+                     join_strategy="chunks", chunk=128, halo=8)
+    return _warp_tile_stats(out)
+
+
 def q_warp_cutline(spark, sf_dir):
     """Cutline clipping + out_resolution sample replication under the
     chunk-anchored plan (VERDICT r2 missing #2), vs its own pinned serial
@@ -1202,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_boxstats_chunks": q_warp_boxstats_chunks,
         "warp_vectorize_chunks": q_warp_vectorize_chunks,
         "warp_cutline": q_warp_cutline,
+        "warp_tiff_ingest": q_warp_tiff_ingest,
         "multimodal": q_multimodal,
         "similarity_lsh": q_similarity_lsh,
         "media_resize": q_media_resize,
@@ -1240,7 +1273,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mode_family": q_mode_family,
         "topk_most_common": q_topk_most_common,
         "uniq_desc": q_uniq_desc,
-        "histogram": q_histogram,
         "nodata_map": q_nodata_map,
         "skip_nodata": q_skip_nodata,
         "affine": q_affine,
@@ -1288,10 +1320,6 @@ def oracle_sql() -> dict[str, str]:
         "uniq_desc": """
             SELECT v AS val, CAST(row_number() OVER (ORDER BY v DESC) AS BIGINT) AS rnk
             FROM (SELECT DISTINCT l_returnflag AS v FROM lineitem) t
-        """,
-        "histogram": """
-            SELECT CAST(floor(l_quantity) AS BIGINT) AS bucket, count(*) AS n
-            FROM lineitem GROUP BY 1
         """,
         "nodata_map": """
             SELECT CAST(CASE WHEN l_quantity IN (1.0, 2.0) THEN -1
@@ -1504,6 +1532,10 @@ def oracle_sql() -> dict[str, str]:
         # the chunk-anchored scale plan vs the SAME pinned tables the
         # broadcast plan is checked against (VERDICT r2 next #1)
         "warp_tiles_chunks": f"""
+            SELECT z, x, y, method, bands, valid_px, payload_crc
+            FROM read_parquet('{_FIXTURES_DIR}/expected_warp_tiles.parquet')
+        """,
+        "warp_tiff_ingest": f"""
             SELECT z, x, y, method, bands, valid_px, payload_crc
             FROM read_parquet('{_FIXTURES_DIR}/expected_warp_tiles.parquet')
         """,
