@@ -187,8 +187,63 @@ class PolarStereographicSouth:
         return lon, lat
 
 
+class PyprojProjection:
+    """Auto-fallback for EPSG codes without a built-in pure-numpy
+    implementation (VERDICT r3 next #5): used ONLY when the cluster has
+    pyproj installed AND the code isn't one of the pinned built-ins
+    above — the built-ins stay the default for the reference-parity
+    codes so pinned results never depend on the executors' PROJ build.
+
+    Lazily constructed and pickle-safe: only the EPSG code crosses the
+    serialization boundary (pyproj Transformer objects historically
+    don't pickle); each executor builds its own transformer pair on
+    first use."""
+
+    def __init__(self, epsg):
+        self.epsg = int(epsg)
+        self._fwd = None
+        self._inv = None
+
+    def __getstate__(self):
+        return {"epsg": self.epsg}
+
+    def __setstate__(self, state):
+        self.__init__(state["epsg"])
+
+    def _pair(self):
+        if self._fwd is None:
+            from pyproj import Transformer as _PT
+
+            self._fwd = _PT.from_crs(4326, self.epsg, always_xy=True)
+            self._inv = _PT.from_crs(self.epsg, 4326, always_xy=True)
+        return self._fwd, self._inv
+
+    def forward(self, lon, lat):
+        fwd, _ = self._pair()
+        x, y = fwd.transform(np.asarray(lon, dtype=np.float64),
+                             np.asarray(lat, dtype=np.float64))
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+
+    def inverse(self, x, y):
+        _, inv = self._pair()
+        lon, lat = inv.transform(np.asarray(x, dtype=np.float64),
+                                 np.asarray(y, dtype=np.float64))
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+
+
+def _has_pyproj():
+    try:
+        import pyproj  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
 def get_projection(epsg):
-    """EPSG code -> projection object with forward/inverse (lon,lat)<->(x,y)."""
+    """EPSG code -> projection object with forward/inverse (lon,lat)<->(x,y).
+    Unknown codes fall back to pyproj when it is installed; otherwise the
+    caller must inject custom closures (the reference's own contract,
+    geowarp.js:149-150)."""
     epsg = int(str(epsg).replace("EPSG:", ""))
     if epsg == 4326:
         return Identity()
@@ -202,7 +257,11 @@ def get_projection(epsg):
         return TransverseMercator((epsg - 32700) * 6 - 183, false_northing=1e7, epsg=epsg)
     if 26901 <= epsg <= 26923:  # NAD83 UTM north (GRS80)
         return TransverseMercator((epsg - 26900) * 6 - 183, f=GRS80_F, epsg=epsg)
-    raise ValueError(f"unsupported EPSG:{epsg} — inject custom forward/inverse instead")
+    if _has_pyproj():
+        return PyprojProjection(epsg)
+    raise ValueError(
+        f"unsupported EPSG:{epsg} — install pyproj for automatic support, "
+        "or inject custom forward/inverse closures")
 
 
 class Transformer:
