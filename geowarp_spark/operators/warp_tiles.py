@@ -675,7 +675,16 @@ def warp_tiles_broadcast_variants(tiles: DataFrame, chunk_records, variants, *,
 
 
 # broadcast the source when it fits comfortably in an executor broadcast;
-# larger sources take the chunk-anchored plan (payload moves once)
+# larger sources take the chunk-anchored plan (payload moves once).
+# MEASURED (BENCH/crossover_r4.json, min-of-3 interleaved, 676-tile z9
+# cover, 0.8-48 MB sources): broadcast wall ~= 0.37 s + 0.054 s/MB,
+# chunks ~= 2.3 s + 0.125 s/MB — no wall-clock crossover below the
+# memory bound on a single JVM (broadcast "shipping" there is just
+# serialization), and the chunks penalty shrinks 5.8x -> 2.8x as the
+# source grows.  The cap is therefore an executor-MEMORY budget, not a
+# speed crossover: past ~64 MB the broadcast plan starts costing real
+# executor heap x N_executors network copies on a cluster, while the
+# chunks plan's constant factor is already within 3x and falling.
 AUTO_BROADCAST_BYTES = 64 << 20
 
 
