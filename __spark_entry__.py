@@ -758,8 +758,11 @@ def q_warp_boxstats_chunks(spark, sf_dir):
     from geowarp_spark.sources.fixtures import build_fixture
 
     fx = build_fixture("rgba_webmerc")
+    # chunk=128 -> 16 chunk rows: the partials stage parallelizes instead
+    # of being capped at the 512px fixture's 4 chunk=256 rows (the
+    # tiny-fixture parallelism gotcha); bit-identical by halo design
     out = warp_fixture_to_tiles(spark, fx, zooms=[8, 9], method="median", out_size=64,
-                                join_strategy="chunks")
+                                join_strategy="chunks", chunk=128)
     return _warp_tile_stats(out)
 
 
