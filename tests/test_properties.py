@@ -122,3 +122,43 @@ def test_cell_parent_contains_child(lat, lon, z):
     child = latlng_to_cell(np.array([lat]), np.array([lon]), z)
     parent_direct = latlng_to_cell(np.array([lat]), np.array([lon]), z - 1)
     assert cell_parent(child, 1)[0] == parent_direct[0]
+
+
+@given(
+    st.integers(min_value=1, max_value=4),      # bands
+    st.integers(min_value=1, max_value=40),     # height
+    st.integers(min_value=1, max_value=40),     # width
+    st.sampled_from(["uint8", "uint16", "int16", "uint32", "float32"]),
+    st.sampled_from(["strips", "tiles"]),
+    st.sampled_from(["none", "deflate"]),
+    st.booleans(),                              # predictor
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_tiff_roundtrip_property(b, h, w, dtype, layout, compression,
+                                 predictor, seed):
+    """Any (bands, dims, dtype, layout, compression, predictor) combo
+    round-trips bit-exactly through the pure-Python TIFF codec —
+    including edge tiles/strips that need padding and 1-px rasters."""
+    from geowarp_spark.sources.tiff import read_tiff, write_tiff
+
+    if predictor and dtype == "float32":
+        predictor = False  # predictor 2 is integer-only (TIFF 6.0 §14)
+    rng = np.random.default_rng(seed)
+    if dtype == "float32":
+        data = rng.random((b, h, w)).astype(np.float32)
+    else:
+        info = np.iinfo(dtype)
+        data = rng.integers(info.min, int(info.max) + 1, size=(b, h, w),
+                            dtype=np.dtype(dtype))
+    fx = {
+        "raster_id": "prop", "srs": 3857,
+        "bbox": [0.0, 0.0, float(w), float(h)],
+        "geotransform": None, "width": w, "height": h, "bands": b,
+        "dtype": dtype, "no_data": None, "data": data,
+    }
+    buf = write_tiff(fx, compression=compression, layout=layout,
+                     rows_per_strip=7, tile_size=16, predictor=predictor)
+    got = read_tiff(buf)
+    np.testing.assert_array_equal(got["data"], data)
+    assert got["dtype"] == dtype and got["srs"] == 3857
