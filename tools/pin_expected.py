@@ -1,6 +1,6 @@
 """Pin expected per-tile stats for the warp queries' DuckDB oracles.
 
-The raster engine's outputs (q_warp_tiles / q_warp_boxstats) are not
+The raster engine's outputs (q_warp_tiles / q_warp_*_chunks) are not
 SQL-expressible, so the oracle is a PINNED EXPECTED TABLE computed here by
 an INDEPENDENT SERIAL PATH — no Spark, no chunk stitching: each tile is
 warped from the FULL fixture raster in one plain-Python loop (the style of
