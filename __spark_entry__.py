@@ -543,7 +543,8 @@ def q_token_stats(spark, sf_dir):  # text: token counting
 
     _views(spark, sf_dir)
     docs = spark.table("documents")
-    ts = token_stats(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    # lang rides the projection (keep_cols) — no self-join of documents
+    ts = token_stats(docs, keep_cols=("lang",))
     return ts.groupBy("lang").agg(
         F.sum("n_chars").cast("long").alias("chars"),
         F.sum("n_tokens").cast("long").alias("tokens"),

@@ -112,7 +112,8 @@ def minhash_signatures(docs: DataFrame, text_col="text", id_col="doc_id",
 def minhash_lsh_pairs(docs: DataFrame, text_col="text", id_col="doc_id",
                       num_hashes=32, bands=8, shingle_k=5,
                       jaccard_threshold=0.5, hash_sql=None,
-                      portable_band_key=False, max_bucket=1000) -> DataFrame:
+                      portable_band_key=False, max_bucket=1000,
+                      sigs: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs + exact signature-jaccard verification.
 
     banding: rows_per_band = num_hashes // bands; docs sharing any band
@@ -124,10 +125,19 @@ def minhash_lsh_pairs(docs: DataFrame, text_col="text", id_col="doc_id",
     generation (observed, not silent — see _cap_hot_buckets).  Real
     corpora have degenerate bands (empty docs, boilerplate) whose
     buckets otherwise go quadratic.
+
+    ``sigs``: optional precomputed signature table (id_col, sig) from
+    minhash_signatures — pass it when signatures are already
+    materialized (the production shape at corpus scale: hash once into
+    a table, then band+join).  Without it the signature subtree is
+    recomputed per plan reference (join sides + cap counts, up to 4x
+    the hashing CPU — r4 plan audit); Spark's exchange reuse recovers
+    the two join sides, a persisted/materialized ``sigs`` recovers all.
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k,
-                              hash_sql=hash_sql)
+    if sigs is None:
+        sigs = minhash_signatures(docs, text_col, id_col, num_hashes,
+                                  shingle_k, hash_sql=hash_sql)
 
     def band_key(b):
         cols = [F.col("sig")[b * r + i] for i in range(r)]
@@ -194,14 +204,19 @@ def simhash(docs: DataFrame, text_col="text", id_col="doc_id",
 
 
 def simhash_near_dups(docs: DataFrame, text_col="text", id_col="doc_id",
-                      band_bits=16, hash_sql=None, max_bucket=1000) -> DataFrame:
+                      band_bits=16, hash_sql=None, max_bucket=1000,
+                      fingerprints: DataFrame | None = None) -> DataFrame:
     """Near-dup candidates: docs sharing any of the 4 16-bit simhash bands
     (guarantees recall for hamming distance <= 3), then exact hamming
     verification via bit_count(xor).  ``max_bucket``: hot-bucket guard —
     oversized band buckets (e.g. thousands of empty docs all hashing to
     band 0) are dropped from candidate generation with an observed count
-    (_cap_hot_buckets), bounding the self-join at any corpus size."""
-    sh = simhash(docs, text_col, id_col, hash_sql=hash_sql)
+    (_cap_hot_buckets), bounding the self-join at any corpus size.
+    ``fingerprints``: optional precomputed (id_col, simhash) table —
+    pass when fingerprints are already materialized so the hash subtree
+    isn't recomputed per plan reference (see minhash_lsh_pairs)."""
+    sh = fingerprints if fingerprints is not None else simhash(
+        docs, text_col, id_col, hash_sql=hash_sql)
     bands = 64 // band_bits
     mask = F.lit((1 << band_bits) - 1).cast("bigint")
     banded = sh.select(

@@ -22,15 +22,22 @@ STOPWORDS = {
 }
 
 
-def token_stats(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+def token_stats(docs: DataFrame, text_col="text", id_col="doc_id",
+                keep_cols=()) -> DataFrame:
     """Whitespace token count + BPE-ish subword estimate (chars/4 rule of
-    thumb plus punctuation splits) + char count."""
+    thumb plus punctuation splits) + char count.  ``keep_cols``: extra
+    columns carried through the projection — callers that need document
+    attributes downstream (e.g. lang for a per-language rollup) pass them
+    here instead of self-joining docs back on id (a narrow projection
+    stays shuffle-free; the self-join costs two scans + an exchange per
+    side, caught by the r4 plan audit)."""
     toks = F.expr(f"size(split({text_col}, ' +'))")
     chars = F.length(text_col)
     spaces = chars - F.length(F.regexp_replace(F.col(text_col), " ", ""))
     bpe_est = F.ceil(chars / F.lit(4.0)).cast("bigint")
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         chars.alias("n_chars"),
         toks.alias("n_tokens"),
         spaces.alias("n_spaces"),

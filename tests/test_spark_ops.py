@@ -832,3 +832,28 @@ def test_iceberg_branch_contract(spark, tmp_path):
     assert hasattr(w, "append") and hasattr(w, "createOrReplace")
     with pytest.raises(Exception):  # catalog 'local' unresolvable w/o jar
         w.append()
+
+
+def test_lsh_pairs_accept_precomputed_signatures(spark):
+    """The production shape at corpus scale: signatures/fingerprints are
+    materialized once into a table, then banding+joins read them —
+    results must equal the from-docs path exactly."""
+    from geowarp_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signatures, simhash, simhash_near_dups)
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("today", "tomorrow")),
+         (3, "completely different content about spark raster warping")],
+        ["doc_id", "text"])
+    kw = dict(num_hashes=32, bands=16, shingle_k=3, jaccard_threshold=0.3)
+    direct = {tuple(r) for r in minhash_lsh_pairs(docs, **kw).collect()}
+    sigs = minhash_signatures(docs, num_hashes=32, shingle_k=3)
+    via_sigs = {tuple(r) for r in
+                minhash_lsh_pairs(docs, sigs=sigs, **kw).collect()}
+    assert direct == via_sigs and direct
+
+    d2 = {tuple(r) for r in simhash_near_dups(docs).collect()}
+    fp = simhash(docs)
+    v2 = {tuple(r) for r in simhash_near_dups(docs, fingerprints=fp).collect()}
+    assert d2 == v2
