@@ -297,8 +297,9 @@ def connected_components(pairs: DataFrame, all_nodes: DataFrame = None,
     near-dup graphs is small (dup clusters are dense clumps, not paths).
     Every few rounds the lineage is truncated via localCheckpoint so the
     plan doesn't grow unboundedly.  For adversarial long-chain graphs,
-    switch to the large-star/small-star variant (same join shapes,
-    O(log n) rounds) — not needed for dedup workloads.
+    use connected_components_star below (large-star/small-star, same
+    join shapes, O(log^2 n) rounds) — dedup clumps don't need it, chains
+    do; equality + chain-convergence are tested.
 
     ``pairs``: (id_a, id_b) undirected edges.  ``all_nodes``: optional
     (node_col) DataFrame; nodes without edges become singleton components.
@@ -348,6 +349,89 @@ def connected_components(pairs: DataFrame, all_nodes: DataFrame = None,
             "for long-chain graphs")
     return labels.select(F.col("node").alias(node_col),
                          F.col("label").alias("component"))
+
+
+def connected_components_star(pairs: DataFrame, all_nodes: DataFrame = None,
+                              id_a="id_a", id_b="id_b", node_col="doc_id",
+                              max_iter=30) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") — O(log^2 n) rounds
+    in the worst case vs min-label propagation's O(diameter), so
+    adversarial LONG-CHAIN graphs converge where connected_components'
+    round budget would be exhausted (its docstring's documented
+    escape hatch; near-dup clumps don't need this, chains do).
+
+    Each round is two conditional-star operations, both expressed as the
+    SAME join shape as min-label propagation (edge x label equi-joins +
+    min-aggregates on node id — no new shuffle pattern at scale):
+      large-star: for each edge (u, v) with v > u, connect v to the
+        minimum neighbor (or self) of u;
+      small-star: for each edge with v <= u, same with roles swapped.
+    Converges when the edge set reaches a fixed point (every edge goes
+    root->node); labels = final neighborhood minima.  Returns
+    (node_col, component) with component = min node id, identical to
+    connected_components by definition of connectivity.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def star_round(e: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over {u} + neighbors(u)
+        m = (
+            e.select("u", F.col("v").alias("n"))
+            .unionByName(e.select("u", F.col("u").alias("n")))
+            .groupBy("u").agg(F.min("n").alias("m"))
+        )
+        side = e.filter(F.col("v") > F.col("u")) if large else \
+            e.filter(F.col("v") <= F.col("u"))
+        # connect the far endpoint to u's minimum
+        new = (
+            side.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # keep (u, m) so roots stay linked to their minima
+        keep = m.filter(F.col("u") != F.col("m")).select(
+            "u", F.col("m").alias("v"))
+        out = new.unionByName(keep)
+        return out.unionByName(out.select(F.col("v").alias("u"),
+                                          F.col("u").alias("v"))).distinct()
+
+    converged = False
+    for it in range(max_iter):
+        new_edges = star_round(star_round(edges, large=True), large=False)
+        new_edges = new_edges.localCheckpoint(eager=True)
+        # fixed point: symmetric edge sets equal (cheap: count + anti-join)
+        n_new = new_edges.count()
+        if n_new == edges.count() and \
+                new_edges.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0:
+            converged = True
+            edges = new_edges
+            break
+        edges = new_edges
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds (theoretical bound is O(log^2 n) — raise max_iter)")
+    labels = (
+        edges.select("u", F.col("v").alias("n"))
+        .unionByName(edges.select("u", F.col("u").alias("n")))
+        .groupBy("u").agg(F.min("n").alias("component"))
+    )
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    if all_nodes is not None:
+        nodes = nodes.unionByName(
+            all_nodes.select(F.col(node_col).alias("node"))).distinct()
+    return (
+        nodes.join(labels, nodes.node == labels.u, "left")
+        .select(F.col("node").alias(node_col),
+                F.coalesce("component", F.col("node")).alias("component"))
+    )
 
 
 def embedding_near_dups(emb: DataFrame, threshold=0.95, id_col="vec_id",

@@ -42,6 +42,8 @@ _TYPES = {
     9: ("i", 4),   # SLONG
     11: ("f", 4),  # FLOAT
     12: ("d", 8),  # DOUBLE
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),  # SLONG8 (BigTIFF)
 }
 
 _T_IMAGE_WIDTH = 256
@@ -80,18 +82,27 @@ def _np_dtype(bits: int, fmt: int) -> np.dtype:
 # --------------------------------------------------------------- reader
 
 
-def _read_ifd(buf: bytes, bo: str, off: int):
-    (n,) = struct.unpack_from(bo + "H", buf, off)
+def _read_ifd(buf: bytes, bo: str, off: int, big: bool = False):
+    """Walk one IFD.  ``big``: BigTIFF layout — 8-byte entry count,
+    20-byte entries (count and value/offset are 8 bytes), so offsets
+    address files past the classic format's 4 GB ceiling."""
+    if big:
+        (n,) = struct.unpack_from(bo + "Q", buf, off)
+        base, esz, cnt_fmt, inline = off + 8, 20, "Q", 8
+    else:
+        (n,) = struct.unpack_from(bo + "H", buf, off)
+        base, esz, cnt_fmt, inline = off + 2, 12, "I", 4
     tags = {}
     for i in range(n):
-        code, typ, count = struct.unpack_from(bo + "HHI", buf, off + 2 + i * 12)
+        code, typ = struct.unpack_from(bo + "HH", buf, base + i * esz)
+        (count,) = struct.unpack_from(bo + cnt_fmt, buf, base + i * esz + 4)
         if typ not in _TYPES:
             continue
         fmt, sz = _TYPES[typ]
         total = sz * count
-        voff = off + 2 + i * 12 + 8
-        if total > 4:
-            (voff,) = struct.unpack_from(bo + "I", buf, voff)
+        voff = base + i * esz + (12 if big else 8)
+        if total > inline:
+            (voff,) = struct.unpack_from(bo + cnt_fmt, buf, voff)
         if typ == 2:
             raw = buf[voff:voff + count]
             tags[code] = raw.split(b"\0", 1)[0].decode("ascii", "replace")
@@ -128,10 +139,18 @@ def read_tiff(buf: bytes, raster_id: str = "tiff") -> dict:
         bo = ">"
     else:
         raise ValueError("not a TIFF (bad byte-order mark)")
-    magic, ifd_off = struct.unpack_from(bo + "HI", buf, 2)
-    if magic != 42:
-        raise ValueError(f"not a classic TIFF (magic {magic})")
-    t = _read_ifd(buf, bo, ifd_off)
+    (magic,) = struct.unpack_from(bo + "H", buf, 2)
+    if magic == 42:
+        big = False
+        (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
+    elif magic == 43:  # BigTIFF: 8-byte offsets (files past 4 GB)
+        big = True
+        osz, zero, ifd_off = struct.unpack_from(bo + "HHQ", buf, 4)
+        if osz != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header (offset size {osz})")
+    else:
+        raise ValueError(f"not a TIFF (magic {magic})")
+    t = _read_ifd(buf, bo, ifd_off, big=big)
 
     w = int(t[_T_IMAGE_WIDTH][0])
     h = int(t[_T_IMAGE_LENGTH][0])
@@ -238,11 +257,14 @@ def read_tiff(buf: bytes, raster_id: str = "tiff") -> dict:
 
 
 def write_tiff(fx: dict, *, compression="none", layout="strips",
-               rows_per_strip=64, tile_size=128, predictor=False) -> bytes:
+               rows_per_strip=64, tile_size=128, predictor=False,
+               big=False) -> bytes:
     """Encode a fixture dict as a little-endian baseline GeoTIFF
     (chunky planar config, strip or tile layout, none/deflate).  Only
     used to synthesize round-trip test inputs — the sandbox has no real
-    GeoTIFFs — but the bytes are spec-valid TIFF 6.0 + GeoTIFF keys."""
+    GeoTIFFs — but the bytes are spec-valid TIFF 6.0 + GeoTIFF keys.
+    ``big``: BigTIFF layout (magic 43, 8-byte counts/offsets, LONG8
+    segment offsets) — the format real >4 GB rasters ship in."""
     from ..kernels.affine import Geotransform
 
     data = fx["data"]
@@ -310,18 +332,19 @@ def write_tiff(fx: dict, *, compression="none", layout="strips",
     ]
     if predictor:
         entries.append((_T_PREDICTOR, 3, [2]))
+    off_type = 16 if big else 4  # LONG8 offsets exercise the BigTIFF path
     if layout == "strips":
         entries += [
             (_T_ROWS_PER_STRIP, 4, [rows_per_strip]),
-            (_T_STRIP_OFFSETS, 4, None),      # patched below
-            (_T_STRIP_BYTE_COUNTS, 4, [len(s) for s in segs]),
+            (_T_STRIP_OFFSETS, off_type, None),      # patched below
+            (_T_STRIP_BYTE_COUNTS, off_type, [len(s) for s in segs]),
         ]
     else:
         entries += [
             (_T_TILE_WIDTH, 3, [tile_size]),
             (_T_TILE_LENGTH, 3, [tile_size]),
-            (_T_TILE_OFFSETS, 4, None),
-            (_T_TILE_BYTE_COUNTS, 4, [len(s) for s in segs]),
+            (_T_TILE_OFFSETS, off_type, None),
+            (_T_TILE_BYTE_COUNTS, off_type, [len(s) for s in segs]),
         ]
     for code, vals in geo_doubles.items():
         entries.append((code, 12, vals))
@@ -334,10 +357,15 @@ def write_tiff(fx: dict, *, compression="none", layout="strips",
         entries.append((_T_GDAL_NODATA, 2, txt))
     entries.sort(key=lambda e: e[0])
 
-    # layout: header(8) | segments | out-of-line values | IFD
-    header = struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched below
+    # layout: header | segments | out-of-line values | IFD
+    if big:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0)  # offset @ 8
+        inline_cap, off_fmt, hdr_len = 8, "Q", 16
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 0)          # offset @ 4
+        inline_cap, off_fmt, hdr_len = 4, "I", 8
     seg_offsets = []
-    pos = 8
+    pos = hdr_len
     body = bytearray()
     for s in segs:
         seg_offsets.append(pos)
@@ -360,8 +388,8 @@ def write_tiff(fx: dict, *, compression="none", layout="strips",
         else:
             raw = struct.pack("<" + fmt_c * len(vals), *vals)
             count = len(vals)
-        if len(raw) <= 4:
-            packed.append((code, typ, count, raw.ljust(4, b"\0"), None))
+        if len(raw) <= inline_cap:
+            packed.append((code, typ, count, raw.ljust(inline_cap, b"\0"), None))
         else:
             packed.append((code, typ, count, None, bytes(raw)))
     # out-of-line area starts after segments
@@ -371,20 +399,28 @@ def write_tiff(fx: dict, *, compression="none", layout="strips",
             if ool_off % 2:
                 extra += b"\0"
                 ool_off += 1
-            packed[i] = (code, typ, count, struct.pack("<I", ool_off), None)
+            packed[i] = (code, typ, count,
+                         struct.pack("<" + off_fmt, ool_off).ljust(inline_cap, b"\0"),
+                         None)
             extra += raw
             ool_off += len(raw)
     ifd_off = ool_off + (ool_off % 2)
     if ool_off % 2:
         extra += b"\0"
 
-    ifd = struct.pack("<H", len(packed))
-    for code, typ, count, inline, _ in packed:
-        ifd += struct.pack("<HHI", code, typ, count) + inline
-    ifd += struct.pack("<I", 0)  # no next IFD
+    if big:
+        ifd = struct.pack("<Q", len(packed))
+        for code, typ, count, inline, _ in packed:
+            ifd += struct.pack("<HHQ", code, typ, count) + inline
+        ifd += struct.pack("<Q", 0)  # no next IFD
+    else:
+        ifd = struct.pack("<H", len(packed))
+        for code, typ, count, inline, _ in packed:
+            ifd += struct.pack("<HHI", code, typ, count) + inline
+        ifd += struct.pack("<I", 0)
 
     out = bytearray(header) + body + extra + ifd
-    struct.pack_into("<I", out, 4, ifd_off)
+    struct.pack_into("<" + off_fmt, out, 4 if not big else 8, ifd_off)
     return bytes(out)
 
 

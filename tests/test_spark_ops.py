@@ -857,3 +857,41 @@ def test_lsh_pairs_accept_precomputed_signatures(spark):
     fp = simhash(docs)
     v2 = {tuple(r) for r in simhash_near_dups(docs, fingerprints=fp).collect()}
     assert d2 == v2
+
+
+def test_connected_components_star_matches_minlabel_and_handles_chains(spark):
+    """large-star/small-star == min-label propagation on clumpy graphs,
+    AND converges on the adversarial long-chain graph in O(log^2 n)
+    rounds where min-label needs O(diameter) (its documented escape
+    hatch)."""
+    import random
+
+    from geowarp_spark.operators.dedup import (
+        connected_components, connected_components_star)
+
+    rnd = random.Random(42)
+    # clumpy graph: 3 dense clusters + isolated nodes
+    edges = []
+    for base in (0, 100, 200):
+        members = [base + i for i in range(12)]
+        for _ in range(25):
+            a, b = rnd.sample(members, 2)
+            edges.append((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(set(edges)), ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(0, 300, 7)], ["doc_id"])
+    ml = {(r["doc_id"], r["component"]) for r in
+          connected_components(pairs, all_nodes=nodes).collect()}
+    st = {(r["doc_id"], r["component"]) for r in
+          connected_components_star(pairs, all_nodes=nodes).collect()}
+    assert st == ml
+
+    # 200-node path: diameter 199.  min-label moves the label one hop per
+    # round, so a 12-round budget MUST raise; star converges well inside
+    # its 30-round default (O(log^2 n)).
+    chain = spark.createDataFrame([(i, i + 1) for i in range(199)],
+                                  ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=12)
+    got = {(r["doc_id"], r["component"]) for r in
+           connected_components_star(chain).collect()}
+    assert got == {(i, 0) for i in range(200)}

@@ -160,3 +160,21 @@ def test_tiff_planar_config_2():
     got = read_tiff(bytes(out))
     np.testing.assert_array_equal(got["data"], fx["data"])
     del base  # chunky reference only used to keep the writer honest
+
+
+@pytest.mark.parametrize("layout", ["strips", "tiles"])
+@pytest.mark.parametrize("compression", ["none", "deflate"])
+def test_bigtiff_roundtrip(layout, compression):
+    """BigTIFF (magic 43, 8-byte counts/offsets, LONG8 segment offsets)
+    — the container real >4 GB rasters ship in — round-trips through
+    the same reader entry point."""
+    fx = build_fixture("rgb_smallscale")
+    buf = write_tiff(fx, compression=compression, layout=layout, big=True)
+    assert buf[2:4] == (43).to_bytes(2, "little")
+    got = read_tiff(buf, raster_id="rgb_smallscale")
+    np.testing.assert_array_equal(got["data"], fx["data"])
+    assert got["srs"] == 4326 and got["no_data"] == 0
+    # classic and big encode the same pixels, different container
+    classic = read_tiff(write_tiff(fx, compression=compression, layout=layout))
+    np.testing.assert_array_equal(got["data"], classic["data"])
+    assert got["geotransform"] == classic["geotransform"]
