@@ -110,3 +110,29 @@ def test_insert_null_strategy_controls_sink_visibility():
             insert_null_strategy="insert", **common)
     assert calls["skip"] == 3      # the null sample is withheld
     assert calls["insert"] == 4    # ... or forwarded, per strategy
+
+
+def test_oracle_canon_detects_single_value_mutation():
+    """Mutation probe (verify-skill recipe): the driver-gate canonical
+    hash must diverge when ONE value of a result changes — guards
+    against a vacuous compare, especially for the pinned-parquet warp
+    oracles where both sides read the same fixture family."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import canon
+
+    base = pd.DataFrame({"z": [9, 9, 10], "crc": [111, 222, 333]})
+    h0, n0 = canon(base)
+    mut = base.copy()
+    mut.loc[1, "crc"] = 223
+    h1, n1 = canon(mut)
+    assert n0 == n1 == 3 and h0 != h1
+    # column order must NOT matter (driver sorts columns by name)
+    reordered = base[["crc", "z"]]
+    assert canon(reordered)[0] == h0
+    # row order must NOT matter (order-insensitive compare)
+    shuffled = base.iloc[[2, 0, 1]]
+    assert canon(shuffled)[0] == h0
