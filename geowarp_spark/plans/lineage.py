@@ -92,10 +92,15 @@ class CheckpointStore:
         path = os.path.join(self.root, "snapshots", snap_id)
         if self.use_iceberg:
             writer = self._iceberg_writer(tiles, snap_id)
-            try:
+            # Create ONLY when the table genuinely does not exist; any
+            # other append failure (commit conflict, schema mismatch,
+            # network) must re-raise — createOrReplace() on a transient
+            # error would silently destroy every prior snapshot
+            # (ADVICE r4 high).
+            if self.spark.catalog.tableExists(self.iceberg_table):
                 writer.append()
-            except Exception:
-                writer.createOrReplace()  # first commit creates the table
+            else:
+                writer.create()
             path = self.iceberg_table
         else:
             (tiles.write.mode("overwrite").partitionBy("z").parquet(path))
@@ -135,7 +140,14 @@ class CheckpointStore:
             F.lit(0).cast("bigint").alias("wall_ms"),
         )
         if self.use_iceberg:
-            lin.writeTo(f"{self.iceberg_table}_lineage").using("iceberg").append()
+            # mirror commit_tiles: first write on a fresh store creates
+            # the _lineage table instead of raising NoSuchTableException
+            # (ADVICE r4 medium)
+            w = lin.writeTo(f"{self.iceberg_table}_lineage").using("iceberg")
+            if self.spark.catalog.tableExists(f"{self.iceberg_table}_lineage"):
+                w.append()
+            else:
+                w.create()
         else:
             lin.write.mode("append").parquet(os.path.join(self.root, "lineage"))
 
@@ -148,10 +160,17 @@ class CheckpointStore:
         """Resume support: partitions already present in committed
         snapshots of this stage — the driver skips them on restart."""
         done = set()
+        if not self.use_iceberg and not os.path.exists(
+                os.path.join(self.root, "lineage")):
+            return done  # fresh store: nothing committed yet
+        from pyspark.errors import AnalysisException
         try:
             lin = self.read_lineage().filter(F.col("stage") == stage)
             for r in lin.select("partition_key").distinct().collect():
                 done.add(r["partition_key"])
-        except Exception:
-            pass
+        except AnalysisException:
+            # Iceberg store with no _lineage table yet (first run);
+            # anything else propagates — a real read failure must not
+            # look like "no work done" and trigger a full recompute
+            return done
         return done

@@ -8,7 +8,8 @@ the public TIFF 6.0 + GeoTIFF 1.1 structures (no geotiff.js code), just
 wide enough for the rasters a warp engine ingests:
 
 - reader: II/MM byte order, first IFD, strip AND tile layouts,
-  Compression 1 (none) / 8 (zlib deflate) / 32946 (legacy deflate),
+  Compression 1 (none) / 5 (LZW, TIFF 6.0 §13 with early change) /
+  8 (zlib deflate) / 32773 (PackBits, §9) / 32946 (legacy deflate),
   Predictor 2 (horizontal differencing), PlanarConfiguration 1 and 2,
   uint8/16/32, int8/16/32, float32/64 samples, GeoTIFF geotransform
   from ModelPixelScale+ModelTiepoint or ModelTransformation,
@@ -111,13 +112,180 @@ def _read_ifd(buf: bytes, bo: str, off: int, big: bool = False):
     return tags
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first variable-width codes starting at 9
+    bits, ClearCode 256 / EOI 257, 'early change' width bumps at table
+    sizes 511/1023/2047 (one code earlier than generic LZW — the
+    documented TIFF deviation).  Independent implementation of the
+    public spec; validated against a hand-computed bitstream vector in
+    tests (no library lineage)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list | None = None
+    buf = 0
+    bufbits = 0
+    pos = 0
+    width = 9
+    prev = None
+    n = len(data)
+    while True:
+        while bufbits < width and pos < n:
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            bufbits += 8
+        if bufbits < width:
+            break  # truncated stream: treat like EOI (libtiff tolerance)
+        code = (buf >> (bufbits - width)) & ((1 << width) - 1)
+        bufbits -= width
+        buf &= (1 << bufbits) - 1
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if table is None:
+            raise ValueError("LZW stream must start with ClearCode")
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code} beyond table)")
+        out += entry
+        prev = entry
+        # early change: the decoder lags the encoder's table by exactly
+        # one entry (the first code after Clear adds nothing), so to read
+        # the encoder's width-w+1 codes in sync it must widen at table
+        # size 2^w - 2 (510/1022/2046) — one earlier than the encoder's
+        # next_code == 2^w - 1 trigger.  This pairing is the TIFF 6.0
+        # "early change" (both sides one code earlier than generic LZW).
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW encoder (writer side, fixtures/round-trips):
+    emits ClearCode first, resets the table when the next free code
+    reaches 4094 (spec recommendation), early-change width bumps."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = 0
+    bufbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal buf, bufbits
+        buf = (buf << width) | code
+        bufbits += width
+        while bufbits >= 8:
+            out.append((buf >> (bufbits - 8)) & 0xFF)
+            bufbits -= 8
+            buf &= (1 << bufbits) - 1
+
+    def fresh():
+        nonlocal width
+        width = 9
+        return {bytes([i]): i for i in range(256)}, 258
+
+    emit(CLEAR)
+    table, next_code = fresh()
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(CLEAR)
+            table, next_code = fresh()
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if bufbits:
+        out.append((buf << (8 - bufbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits: n in 0..127 -> copy n+1 literals; n in
+    129..255 -> repeat next byte 257-n times; 128 -> no-op.  Per-row
+    packed streams concatenate transparently, so whole-segment decode
+    is row-safe."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i:i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    """Pack one scanline (§9 packs each row separately): greedy runs of
+    >= 3 identical bytes become repeat packets, everything else literal
+    packets, both capped at 128 bytes."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        # measure run length at i
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        run = j - i
+        if run >= 3:
+            out.append(257 - run)
+            out.append(row[i])
+            i = j
+            continue
+        # literal stretch: until the next >=3 run or 128 bytes
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            j = i + 1
+            while j < n and row[j] == row[i]:
+                j += 1
+            if j - i >= 3:
+                break
+            # clamp to the 128-byte literal cap: a 2-byte run straddling
+            # the cap must not push the packet to 129 (count byte 128 is
+            # the decoder's no-op — data would vanish)
+            i = min(j, lit_start + 128)
+        out.append(i - lit_start - 1)
+        out += row[lit_start:i]
+    return bytes(out)
+
+
 def _segment(buf, bo_offs, counts, i, compression):
     seg = buf[bo_offs[i]:bo_offs[i] + counts[i]]
     if compression in (8, 32946):
         seg = zlib.decompress(seg)
+    elif compression == 5:
+        seg = _lzw_decode(seg)
+    elif compression == 32773:
+        seg = _packbits_decode(seg)
     elif compression != 1:
         raise NotImplementedError(f"TIFF compression {compression} not supported "
-                                  "(baseline reader: none/deflate)")
+                                  "(reader: none/LZW/deflate/PackBits)")
     return seg
 
 
@@ -272,7 +440,7 @@ def write_tiff(fx: dict, *, compression="none", layout="strips",
     dt = data.dtype
     fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
-    comp_code = {"none": 1, "deflate": 8}[compression]
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
     chunky = np.ascontiguousarray(np.moveaxis(data, 0, 2))  # (H,W,B)
 
     def enc(seg_arr):
@@ -297,6 +465,14 @@ def write_tiff(fx: dict, *, compression="none", layout="strips",
                 segs.append(enc(tile))
     if comp_code == 8:
         segs = [zlib.compress(s, 6) for s in segs]
+    elif comp_code == 5:
+        segs = [_lzw_encode(s) for s in segs]
+    elif comp_code == 32773:
+        # §9: each scanline is packed separately
+        row_bytes = (w if layout == "strips" else tile_size) * b * dt.itemsize
+        segs = [b"".join(_packbits_encode_row(s[k:k + row_bytes])
+                         for k in range(0, len(s), row_bytes))
+                for s in segs]
 
     gt = fx["geotransform"] or Geotransform.from_bbox(
         fx["bbox"], fx["width"], fx["height"]).gt
