@@ -255,13 +255,26 @@ _KNN_ORACLE = f"""
 """
 
 
+def _cell_encode_sql():
+    """Shared (Spark == oracle) SQL: packed-XYZ cell AND the S2-style
+    Hilbert cell (grid/hilbert.py, VERDICT r4 next #7) per doc point —
+    the unrolled Hilbert walk is engine-portable, so one text runs on
+    both engines and the driver hash pins the encoder bit-for-bit."""
+    from geowarp_spark.grid.hilbert import hilbert_nested_sql
+
+    cell = _cell_sql("lon", "lat", 12)
+    inner = f"SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents"
+    hil = hilbert_nested_sql(inner, "lon", "lat", 12,
+                             ["doc_id", "lon", "lat"])
+    return f"""
+        WITH pts AS ({hil})
+        SELECT {cell} AS cell, hcell, count(*) AS n FROM pts GROUP BY 1, 2
+    """
+
+
 def q_cell_encode(spark, sf_dir):  # F15: H3/S2-style cell encode + counts
     _views(spark, sf_dir)
-    cell = _cell_sql("lon", "lat", 12)
-    return spark.sql(f"""
-        WITH pts AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents)
-        SELECT {cell} AS cell, count(*) AS n FROM pts GROUP BY 1
-    """)
+    return spark.sql(_cell_encode_sql())
 
 
 def q_cell_rollup(spark, sf_dir):  # pyramid rollup z12 -> z8 (integer math)
@@ -803,8 +816,13 @@ def q_warp_tiff_ingest(spark, sf_dir):
     from geowarp_spark.sources.tiff import tiff_chunks_df, write_tiff
 
     fx = build_fixture("rgb_smallscale")
-    d = tempfile.mkdtemp(prefix="geowarp_tiff_")
-    path = os.path.join(d, "rgb_smallscale.tif")
+    # deterministic path, overwritten per run: the returned DataFrame is
+    # lazy (the driver collects after we return), so the file must
+    # outlive this function — a per-run mkdtemp leaked one dir per driver
+    # run (ADVICE r4 low); a constant name is idempotent and bounded
+    d = os.path.join(tempfile.gettempdir(), "geowarp_spark_fixtures")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "rgb_smallscale_deflate_tiles.tif")
     with open(path, "wb") as f:
         f.write(write_tiff(fx, compression="deflate", layout="tiles"))
     # identical tile cover to warp_fixture_to_tiles(zooms=[9, 10])
@@ -1342,10 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_grid": _PIP_GRID_SQL,
         "knn": _KNN_ORACLE,
         "knn_cells": _KNN_ORACLE,
-        "cell_encode": f"""
-            WITH pts AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents)
-            SELECT {cell12} AS cell, count(*) AS n FROM pts GROUP BY 1
-        """,
+        "cell_encode": _cell_encode_sql(),
         "cell_rollup": f"""
             WITH pts AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents),
             base AS (SELECT {cell12} AS cell, count(*) AS n FROM pts GROUP BY 1)

@@ -60,7 +60,11 @@ def main():
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     from geowarp_spark.session import get_spark
 
-    spark = get_spark(app_name="geowarp-bench", master=f"local[{cpus}]")
+    # pretouch: without it the first full-scale stage pays 20-80 s of
+    # driver-heap commit+zero (round-5 root cause, see session.py) —
+    # randomly inflating whichever query runs first
+    spark = get_spark(app_name="geowarp-bench", master=f"local[{cpus}]",
+                      pretouch=os.environ.get("SPARK_GRAFT_PRETOUCH", "1") == "1")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up (JIT, Arrow init, parquet footer cache) — discarded

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..grid.hilbert import with_hilbert_cell
 from ..grid.tiles import cell_sql_expr
 
 
@@ -131,19 +132,77 @@ def _disk_cells_sql(qlon, qlat, z, ring):
     )
 
 
+def _encode_cells(points, z, lon, lat, scheme):
+    """Point -> cell id column per grid scheme (both pure JVM exprs)."""
+    if scheme == "hilbert":
+        return with_hilbert_cell(points, z, lon, lat, out="cell")
+    return points.withColumn("cell", F.expr(cell_sql_expr(lon, lat, z)))
+
+
+def _hilbert_disk(queries, z, ring, qlon, qlat, query_id, exclude_ring=None):
+    """Chebyshev disk(ring) of HILBERT cell ids around each query (the
+    grid_disk under the S2-style encoder).  Explodes (dx, dy) offsets on
+    the contractually small query side, wraps x / clamps y exactly like
+    _disk_cells_sql, encodes each neighbor through the same unrolled
+    Hilbert walk, and removes the inner disk by ANTI-JOIN ON CELL ID —
+    offset-space filtering would miss clamp-collapsed polar duplicates
+    (the same correctness concern _disk_cells_sql's array_except
+    handles)."""
+    n = 1 << z
+    x0, y0 = (f"CAST(least(greatest(floor(({qlon} + 180.0) / 360.0 * {n}), 0), "
+              f"{n - 1}) AS BIGINT)",
+              f"CAST(least(greatest(floor((90.0 - {qlat}) / 180.0 * {n}), 0), "
+              f"{n - 1}) AS BIGINT)")
+
+    def disk(r):
+        d = (queries
+             .withColumn("dx", F.explode(F.expr(f"sequence(-{r}, {r})")))
+             .withColumn("dy", F.explode(F.expr(f"sequence(-{r}, {r})")))
+             .withColumn("hx0", F.expr(f"pmod({x0} + dx, {n})"))
+             .withColumn("hy0", F.expr(
+                 f"least(greatest({y0} + dy, 0), {n - 1})"))
+             .withColumn("hd0", F.lit(0).cast("bigint"))
+             .drop("dx", "dy"))
+        from ..grid.hilbert import Z_BITS, hilbert_level_exprs
+        levels = hilbert_level_exprs(z, "hx", "hy", "hd")
+        for i, (_s, hd, hx, hy) in enumerate(levels):
+            j = i + 1
+            d = (d.withColumns({f"hd{j}": F.expr(hd), f"hx{j}": F.expr(hx),
+                                f"hy{j}": F.expr(hy)})
+                 .drop(f"hx{i}", f"hy{i}", f"hd{i}"))
+        last = len(levels)
+        return (d.withColumn("cell", F.lit(z << Z_BITS).cast("bigint")
+                             + F.col(f"hd{last}"))
+                .drop(f"hx{last}", f"hy{last}", f"hd{last}")
+                .dropDuplicates([*queries.columns, "cell"]))
+
+    out = disk(ring)
+    if exclude_ring is not None:
+        # PER-QUERY exclusion: a cell in one query's inner disk may be
+        # annulus-new for another query — anti-join keys on (query, cell)
+        out = out.join(disk(exclude_ring).select(query_id, "cell")
+                       .hint("broadcast"), [query_id, "cell"], "left_anti")
+    return out
+
+
 def _knn_cells_pass(points, queries, k, z, ring, lon, lat, qlon, qlat,
-                    point_id, query_id, exclude_ring=None, carried=None):
+                    point_id, query_id, exclude_ring=None, carried=None,
+                    scheme="equirect"):
     """One cell-disk candidate pass.  With ``exclude_ring`` set, only the
     ANNULUS disk(ring) \\ disk(exclude_ring) is probed (array_except also
     removes clamp-collapsed duplicates near the poles), and ``carried``
     (the previous pass's top-k survivors, <= k rows per query) re-enters
     the ranking — the true top-k of the union disk is always contained in
     (top-k of the inner disk) ∪ (annulus candidates)."""
-    pts = points.withColumn("cell", F.expr(cell_sql_expr(lon, lat, z)))
-    disk = _disk_cells_sql(qlon, qlat, z, ring)
-    if exclude_ring is not None:
-        disk = f"array_except({disk}, {_disk_cells_sql(qlon, qlat, z, exclude_ring)})"
-    q = queries.withColumn("cell", F.explode(F.expr(disk)))
+    pts = _encode_cells(points, z, lon, lat, scheme)
+    if scheme == "hilbert":
+        q = _hilbert_disk(queries, z, ring, qlon, qlat, query_id,
+                          exclude_ring=exclude_ring)
+    else:
+        disk = _disk_cells_sql(qlon, qlat, z, ring)
+        if exclude_ring is not None:
+            disk = f"array_except({disk}, {_disk_cells_sql(qlon, qlat, z, exclude_ring)})"
+        q = queries.withColumn("cell", F.explode(F.expr(disk)))
     d2 = (
         (F.col(lon) - F.col(qlon)) * (F.col(lon) - F.col(qlon))
         + (F.col(lat) - F.col(qlat)) * (F.col(lat) - F.col(qlat))
@@ -159,7 +218,8 @@ def _knn_cells_pass(points, queries, k, z, ring, lon, lat, qlon, qlat,
 
 def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
                    ring: int = 1, lon="lon", lat="lat", qlon="qlon", qlat="qlat",
-                   point_id="doc_id", query_id="query_id") -> DataFrame:
+                   point_id="doc_id", query_id="query_id",
+                   scheme: str = "equirect") -> DataFrame:
     """Scale path for kNN: candidate gather via cell-disk equi-join, then
     exact rank refinement, with INCREMENTAL ring widening so results are
     exact even for queries in sparse regions.  This is the H3 grid_disk
@@ -183,6 +243,13 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     points (ADVICE r2 high: points at lat 85, query at lat -85, z=4
     returned 0 rows vs brute-force 3).
 
+    ``scheme``: 'equirect' (packed XYZ ids) or 'hilbert' (S2-style
+    space-filling-curve ids, grid/hilbert.py).  Both index the SAME grid
+    squares, so every exactness/termination argument above is
+    encoding-independent; only the id packing and the disk-cell
+    enumeration differ (equality-tested against brute force in both
+    schemes).
+
     The per-pass settledness check aggregates only (query, count, kth
     dist) — queries are the contractually small broadcast side, so the
     driver sees O(#unsettled queries) rows per pass, never O(points).
@@ -199,7 +266,8 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     while True:
         res = _knn_cells_pass(points, remaining, k, z, cur_ring,
                               lon, lat, qlon, qlat, point_id, query_id,
-                              exclude_ring=prev_ring, carried=carried)
+                              exclude_ring=prev_ring, carried=carried,
+                              scheme=scheme)
         # one evaluation per pass; later passes never recompute this one
         res = res.localCheckpoint(eager=True)
         if remaining_ids is None:

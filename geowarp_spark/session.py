@@ -15,7 +15,18 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "geowarp-spark", master: str | None = None,
-              shuffle_partitions: int | None = None, extra_conf: dict | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None, extra_conf: dict | None = None,
+              pretouch: bool | None = None) -> SparkSession:
+    """``pretouch``: pre-size and pre-touch the driver heap
+    (-Xms + -XX:+AlwaysPreTouch).  Root-caused in round 5
+    (BENCH/BASELINE.md): with the default tiny -Xms, the FIRST
+    full-scale JVM-side stage forces the kernel to commit+zero ~14 GB
+    mid-query — 20-80 s of wall landing in whatever stage runs first,
+    worse at higher thread counts (the r4 "8->32 anti-scaling" was
+    exactly this).  Pre-touching moves that cost to JVM startup and
+    also stabilizes steady-state (no G1 region growth mid-job).  Costs
+    ~10 s startup + pins the heap, so it defaults ON for bench/scaling
+    entry points (SPARK_GRAFT_PRETOUCH=1) and OFF for tests."""
     # set in the driver env too: in local mode python workers fork from
     # the driver-launched JVM and inherit this environment
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
@@ -51,6 +62,14 @@ def get_spark(app_name: str = "geowarp-spark", master: str | None = None,
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
     )
+    if pretouch is None:
+        pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH", "0") == "1"
+    if pretouch:
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        xms = os.environ.get("SPARK_GRAFT_XMS", "14g")
+        b = (b.config("spark.driver.memory", mem)
+             .config("spark.driver.extraJavaOptions",
+                     f"-Xms{xms} -XX:+AlwaysPreTouch"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
