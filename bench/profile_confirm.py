@@ -80,21 +80,30 @@ def worker(out_path):
         return p.withColumn("lon", F.expr(lon)).withColumn("lat", F.expr(lat))
 
     pts = points(4000)
-    # representative warm-up at 1% scale (as scaling.py does)
-    small = points(40)
+    # representative warm-up (scale via PROF_WARM; 40 = the 1% scaling.py
+    # uses, 400 = 10% — probes whether the residual first-full-shuffle
+    # spike at 32 cores is adaptive sizing that a bigger warm-up absorbs)
+    warm_rep = int(os.environ.get("PROF_WARM", "40"))
+    small = points(warm_rep)
     small.agg(F.sum("lon"), F.sum("lat")).collect()
     salted_cell_counts(small, z=12).count()
     drain_s = drain_compiler(sc) if drain else 0.0
 
+    def gc_ms():
+        beans = sc._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
     runs = []
     for i in range(4):
-        t0 = time.time()
+        g0, t0 = gc_ms(), time.time()
         pts.agg(F.sum("lon"), F.sum("lat")).collect()
         g = time.time() - t0
-        t0 = time.time()
+        ggc = gc_ms() - g0
+        g0, t0 = gc_ms(), time.time()
         salted_cell_counts(pts, z=12).count()
         s = time.time() - t0
-        runs.append({"gen": round(g, 3), "salted": round(s, 3)})
+        runs.append({"gen": round(g, 3), "salted": round(s, 3),
+                     "gen_gc_ms": ggc, "salted_gc_ms": gc_ms() - g0})
         print(runs[-1], flush=True)
     with open(out_path, "w") as f:
         json.dump({"master": sc.master, "drain_wait_s": drain_s,

@@ -279,12 +279,16 @@ def orchestrate():
             "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
             "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
             "--conf", "spark.driver.memory=16g",
-            # r5 root cause of the r4 8->32 "anti-scaling": with default
-            # -Xms, the first full-scale stage commits+zeroes ~14 GB of
-            # heap mid-query (20-80 s, worse at 32 threads) — salted_counts
-            # 49 s cold vs 2.3 s warm at local[32].  Pre-touch moves that
-            # to JVM startup, OUTSIDE the timed stages (profile_confirm.py)
-            "--conf", "spark.driver.extraJavaOptions=-Xms14g -XX:+AlwaysPreTouch",
+            # r5 root cause of the r4 8->32 "anti-scaling", two layers
+            # (bench/profile_confirm.py): (1) with default -Xms the first
+            # full-scale stage commits+zeroes ~14 GB of heap mid-query
+            # (20-80 s, worse at 32 threads) — pre-touch moves that to JVM
+            # startup, outside the timed stages; (2) G1's first full-heap
+            # GC cycle still burned 20-35 s in the first full-scale
+            # shuffle (gc_ms-verified) — ParallelGC cuts it to 1-5 s with
+            # equal-or-better steady state.
+            "--conf", ("spark.driver.extraJavaOptions="
+                       "-Xms14g -XX:+AlwaysPreTouch -XX:+UseParallelGC"),
             "--py-files", zpath,
             os.path.abspath(__file__), "worker", job, out,
         ]

@@ -65,11 +65,19 @@ def get_spark(app_name: str = "geowarp-spark", master: str | None = None,
     if pretouch is None:
         pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH", "0") == "1"
     if pretouch:
+        # UseParallelGC: G1's FIRST full-heap cycle (triggered by the
+        # first full-scale shuffle's allocation burst) costs 20-35 s of
+        # GC at 32 threads even on a pre-touched heap (bench/
+        # profile_confirm.py gc_ms deltas: 34.6 s / 20.2 s in two
+        # interleaved G1 legs vs 1.7 s / 4.8 s under ParallelGC, equal
+        # or better steady state).  The throughput collector is the
+        # right default for batch analytics; a latency-sensitive
+        # deployment can override via extra_conf.
         mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         xms = os.environ.get("SPARK_GRAFT_XMS", "14g")
         b = (b.config("spark.driver.memory", mem)
              .config("spark.driver.extraJavaOptions",
-                     f"-Xms{xms} -XX:+AlwaysPreTouch"))
+                     f"-Xms{xms} -XX:+AlwaysPreTouch -XX:+UseParallelGC"))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
