@@ -84,9 +84,11 @@ def _np_dtype(bits: int, fmt: int) -> np.dtype:
 
 
 def _read_ifd(buf: bytes, bo: str, off: int, big: bool = False):
-    """Walk one IFD.  ``big``: BigTIFF layout — 8-byte entry count,
-    20-byte entries (count and value/offset are 8 bytes), so offsets
-    address files past the classic format's 4 GB ceiling."""
+    """Walk one IFD; returns (tags, next_ifd_offset).  ``big``: BigTIFF
+    layout — 8-byte entry count, 20-byte entries (count and value/offset
+    are 8 bytes), so offsets address files past the classic format's
+    4 GB ceiling.  next_ifd_offset = 0 marks the end of the chain (real
+    GeoTIFFs chain overview IFDs after the full-resolution one)."""
     if big:
         (n,) = struct.unpack_from(bo + "Q", buf, off)
         base, esz, cnt_fmt, inline = off + 8, 20, "Q", 8
@@ -109,7 +111,8 @@ def _read_ifd(buf: bytes, bo: str, off: int, big: bool = False):
             tags[code] = raw.split(b"\0", 1)[0].decode("ascii", "replace")
         else:
             tags[code] = list(struct.unpack_from(bo + fmt * count, buf, voff))
-    return tags
+    (next_off,) = struct.unpack_from(bo + cnt_fmt, buf, base + n * esz)
+    return tags, next_off
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -297,10 +300,7 @@ def _undo_predictor(arr: np.ndarray) -> np.ndarray:
     return np.cumsum(arr.astype(np.int64), axis=1).astype(arr.dtype)
 
 
-def read_tiff(buf: bytes, raster_id: str = "tiff") -> dict:
-    """Decode a baseline (Geo)TIFF byte string into the engine's fixture
-    dict (same shape as sources.fixtures.build_fixture, so
-    fixture_chunk_records / chunk_fixture work unchanged)."""
+def _parse_header(buf: bytes):
     if buf[:2] == b"II":
         bo = "<"
     elif buf[:2] == b"MM":
@@ -318,7 +318,62 @@ def read_tiff(buf: bytes, raster_id: str = "tiff") -> dict:
             raise ValueError(f"malformed BigTIFF header (offset size {osz})")
     else:
         raise ValueError(f"not a TIFF (magic {magic})")
-    t = _read_ifd(buf, bo, ifd_off, big=big)
+    return bo, big, ifd_off
+
+
+def _ifd_chain(buf: bytes):
+    """All IFDs in chain order: [(tags, ...)].  IFD 0 is full
+    resolution; subsequent IFDs are overview levels in real GeoTIFFs
+    (NewSubfileType 254 = 1, reduced-resolution)."""
+    bo, big, off = _parse_header(buf)
+    out = []
+    seen = set()
+    while off and off not in seen:  # cycle guard on corrupt files
+        seen.add(off)
+        tags, off = _read_ifd(buf, bo, off, big=big)
+        out.append(tags)
+    return bo, big, out
+
+
+def tiff_overview_levels(buf: bytes):
+    """(width, height) per IFD — level 0 is full resolution."""
+    _bo, _big, chain = _ifd_chain(buf)
+    return [(int(t[_T_IMAGE_WIDTH][0]), int(t[_T_IMAGE_LENGTH][0]))
+            for t in chain]
+
+
+def select_overview(buf: bytes, scale: float) -> int:
+    """Pick the COARSEST overview still at least as fine as ``scale``
+    (requested source-pixels-per-full-res-pixel; e.g. warping to an
+    output whose pixels each cover ~8 source pixels -> scale=8 -> the
+    1/8 overview if present, else the next finer).  The GDAL overview
+    selection rule, reimplemented from its public definition."""
+    levels = tiff_overview_levels(buf)
+    w0 = levels[0][0]
+    best = 0
+    for i, (w, _h) in enumerate(levels):
+        f = w0 / w  # decimation factor of this level
+        if f <= scale + 1e-9:
+            best = i
+    return best
+
+
+def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0) -> dict:
+    """Decode a baseline (Geo)TIFF byte string into the engine's fixture
+    dict (same shape as sources.fixtures.build_fixture, so
+    fixture_chunk_records / chunk_fixture work unchanged).
+
+    ``level``: IFD index — 0 = full resolution, 1+ = overview levels
+    (the pyramid real GeoTIFFs carry so low-zoom reads touch KBs, not
+    the full raster).  Geo referencing for overviews derives from IFD
+    0's geotransform scaled by the decimation factor (GDAL convention:
+    geo tags live on the first IFD; same bbox, coarser pixels)."""
+    bo, big, chain = _ifd_chain(buf)
+    if not (0 <= level < len(chain)):
+        raise ValueError(f"TIFF has {len(chain)} IFD(s); level {level} "
+                         "out of range")
+    t = chain[level]
+    t0 = chain[0]
 
     w = int(t[_T_IMAGE_WIDTH][0])
     h = int(t[_T_IMAGE_LENGTH][0])
@@ -379,28 +434,33 @@ def read_tiff(buf: bytes, raster_id: str = "tiff") -> dict:
     else:
         data = np.ascontiguousarray(full[:, :, :, 0])            # (planes,H,W)
 
-    # --- geo referencing ---
-    if _T_MODEL_TRANSFORMATION in t:
-        m = t[_T_MODEL_TRANSFORMATION]
+    # --- geo referencing (always from IFD 0; overviews scale the pixel
+    # size by their decimation factor — GDAL convention) ---
+    if _T_MODEL_TRANSFORMATION in t0:
+        m = t0[_T_MODEL_TRANSFORMATION]
         gt = [m[3], m[0], m[1], m[7], m[4], m[5]]
-    elif _T_MODEL_PIXEL_SCALE in t and _T_MODEL_TIEPOINT in t:
-        sx, sy = t[_T_MODEL_PIXEL_SCALE][0], t[_T_MODEL_PIXEL_SCALE][1]
-        i, j, _k, X, Y, _Z = t[_T_MODEL_TIEPOINT][:6]
+    elif _T_MODEL_PIXEL_SCALE in t0 and _T_MODEL_TIEPOINT in t0:
+        sx, sy = t0[_T_MODEL_PIXEL_SCALE][0], t0[_T_MODEL_PIXEL_SCALE][1]
+        i, j, _k, X, Y, _Z = t0[_T_MODEL_TIEPOINT][:6]
         gt = [X - i * sx, sx, 0.0, Y + j * sy, 0.0, -sy]
     else:
-        gt = [0.0, 1.0, 0.0, float(h), 0.0, -1.0]  # pixel space
+        gt = [0.0, 1.0, 0.0, float(t0[_T_IMAGE_LENGTH][0]), 0.0, -1.0]
+    if level > 0:
+        fx = int(t0[_T_IMAGE_WIDTH][0]) / w
+        fy = int(t0[_T_IMAGE_LENGTH][0]) / h
+        gt = [gt[0], gt[1] * fx, gt[2] * fy, gt[3], gt[4] * fx, gt[5] * fy]
 
     srs = 0
-    if _T_GEO_KEY_DIRECTORY in t:
-        gk = t[_T_GEO_KEY_DIRECTORY]
+    if _T_GEO_KEY_DIRECTORY in t0:
+        gk = t0[_T_GEO_KEY_DIRECTORY]
         keys = {int(gk[4 + 4 * i]): int(gk[7 + 4 * i])
                 for i in range((len(gk) - 4) // 4)
                 if int(gk[5 + 4 * i]) == 0}  # inline SHORT values only
         srs = keys.get(_GK_PROJECTED_CS) or keys.get(_GK_GEOGRAPHIC_CS) or 0
 
     no_data = None
-    if _T_GDAL_NODATA in t:
-        s = t[_T_GDAL_NODATA].strip()
+    if _T_GDAL_NODATA in t0:
+        s = t0[_T_GDAL_NODATA].strip()
         no_data = float("nan") if s.lower() == "nan" else float(s)
 
     cs = np.array([0.0, w, 0.0, w])
@@ -426,188 +486,226 @@ def read_tiff(buf: bytes, raster_id: str = "tiff") -> dict:
 
 def write_tiff(fx: dict, *, compression="none", layout="strips",
                rows_per_strip=64, tile_size=128, predictor=False,
-               big=False) -> bytes:
+               big=False, overviews=None) -> bytes:
     """Encode a fixture dict as a little-endian baseline GeoTIFF
-    (chunky planar config, strip or tile layout, none/deflate).  Only
-    used to synthesize round-trip test inputs — the sandbox has no real
-    GeoTIFFs — but the bytes are spec-valid TIFF 6.0 + GeoTIFF keys.
+    (chunky planar config, strip or tile layout, none/lzw/deflate/
+    packbits).  Only used to synthesize round-trip test inputs — the
+    sandbox has no real GeoTIFFs — but the bytes are spec-valid
+    TIFF 6.0 + GeoTIFF keys.
     ``big``: BigTIFF layout (magic 43, 8-byte counts/offsets, LONG8
-    segment offsets) — the format real >4 GB rasters ship in."""
+    segment offsets) — the format real >4 GB rasters ship in.
+    ``overviews``: decimation factors (e.g. [2, 4]) — each appends a
+    chained reduced-resolution IFD (NewSubfileType=1, nearest
+    decimation, geo tags only on IFD 0), the overview-pyramid layout
+    real GeoTIFFs carry."""
     from ..kernels.affine import Geotransform
 
-    data = fx["data"]
-    b, h, w = data.shape
-    dt = data.dtype
-    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
-    bits = dt.itemsize * 8
-    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
-    chunky = np.ascontiguousarray(np.moveaxis(data, 0, 2))  # (H,W,B)
+    levels = [fx]
+    for f in (overviews or []):
+        d = np.ascontiguousarray(fx["data"][:, ::f, ::f])
+        levels.append(dict(fx, data=d, width=int(d.shape[2]),
+                           height=int(d.shape[1])))
 
-    def enc(seg_arr):
-        if predictor:  # horizontal differencing per sample channel
-            seg_arr = seg_arr.astype(np.int64)
-            seg_arr = np.concatenate(
-                [seg_arr[:, :1], np.diff(seg_arr, axis=1)], axis=1
-            ).astype(dt)  # wraps mod 2^bits for integer dtypes
-        return seg_arr.tobytes()
-
-    segs = []
-    if layout == "strips":
-        for r0 in range(0, h, rows_per_strip):
-            segs.append(enc(chunky[r0:r0 + rows_per_strip]))
-    else:
-        ts = tile_size
-        for j in range(0, h, ts):
-            for i in range(0, w, ts):
-                tile = np.zeros((ts, ts, b), dtype=dt)
-                blockv = chunky[j:j + ts, i:i + ts]
-                tile[: blockv.shape[0], : blockv.shape[1]] = blockv
-                segs.append(enc(tile))
-    if comp_code == 8:
-        segs = [zlib.compress(s, 6) for s in segs]
-    elif comp_code == 5:
-        segs = [_lzw_encode(s) for s in segs]
-    elif comp_code == 32773:
-        # §9: each scanline is packed separately
-        row_bytes = (w if layout == "strips" else tile_size) * b * dt.itemsize
-        segs = [b"".join(_packbits_encode_row(s[k:k + row_bytes])
-                         for k in range(0, len(s), row_bytes))
-                for s in segs]
-
-    gt = fx["geotransform"] or Geotransform.from_bbox(
-        fx["bbox"], fx["width"], fx["height"]).gt
-    geo_doubles = {}
-    if gt[2] == 0.0 and gt[4] == 0.0:
-        geo_doubles[_T_MODEL_PIXEL_SCALE] = [gt[1], -gt[5], 0.0]
-        geo_doubles[_T_MODEL_TIEPOINT] = [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]
-    else:
-        geo_doubles[_T_MODEL_TRANSFORMATION] = [
-            gt[1], gt[2], 0.0, gt[0],
-            gt[4], gt[5], 0.0, gt[3],
-            0.0, 0.0, 0.0, 0.0,
-            0.0, 0.0, 0.0, 1.0,
-        ]
-    srs = int(fx["srs"])
-    geo_key = _GK_GEOGRAPHIC_CS if srs == 4326 else _GK_PROJECTED_CS
-    model_type = 2 if srs == 4326 else 1
-    gkd = [1, 1, 0, 2,
-           _GK_MODEL_TYPE, 0, 1, model_type,
-           geo_key, 0, 1, srs]
-
-    # entries: (code, type, values) — values as python list / bytes
-    entries = [
-        (_T_IMAGE_WIDTH, 4, [w]),
-        (_T_IMAGE_LENGTH, 4, [h]),
-        (_T_BITS_PER_SAMPLE, 3, [bits] * b),
-        (_T_COMPRESSION, 3, [comp_code]),
-        (_T_PHOTOMETRIC, 3, [2 if b >= 3 else 1]),
-        (_T_SAMPLES_PER_PIXEL, 3, [b]),
-        (_T_PLANAR_CONFIG, 3, [1]),
-        (_T_SAMPLE_FORMAT, 3, [fmt] * b),
-        (_T_GEO_KEY_DIRECTORY, 3, gkd),
-    ]
-    if predictor:
-        entries.append((_T_PREDICTOR, 3, [2]))
-    off_type = 16 if big else 4  # LONG8 offsets exercise the BigTIFF path
-    if layout == "strips":
-        entries += [
-            (_T_ROWS_PER_STRIP, 4, [rows_per_strip]),
-            (_T_STRIP_OFFSETS, off_type, None),      # patched below
-            (_T_STRIP_BYTE_COUNTS, off_type, [len(s) for s in segs]),
-        ]
-    else:
-        entries += [
-            (_T_TILE_WIDTH, 3, [tile_size]),
-            (_T_TILE_LENGTH, 3, [tile_size]),
-            (_T_TILE_OFFSETS, off_type, None),
-            (_T_TILE_BYTE_COUNTS, off_type, [len(s) for s in segs]),
-        ]
-    for code, vals in geo_doubles.items():
-        entries.append((code, 12, vals))
-    if b == 4:
-        entries.append((_T_EXTRA_SAMPLES, 3, [2]))
-    nd = fx.get("no_data")
-    if nd is not None:
-        txt = ("nan" if isinstance(nd, float) and np.isnan(nd)
-               else repr(float(nd))).encode() + b"\0"
-        entries.append((_T_GDAL_NODATA, 2, txt))
-    entries.sort(key=lambda e: e[0])
-
-    # layout: header | segments | out-of-line values | IFD
     if big:
         header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0)  # offset @ 8
         inline_cap, off_fmt, hdr_len = 8, "Q", 16
     else:
         header = struct.pack("<2sHI", b"II", 42, 0)          # offset @ 4
         inline_cap, off_fmt, hdr_len = 4, "I", 8
-    seg_offsets = []
+    off_type = 16 if big else 4  # LONG8 offsets exercise the BigTIFF path
+
+    def level_entries(lv, segs, is_overview):
+        data = lv["data"]
+        b, h, w = data.shape
+        dt = data.dtype
+        fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+        comp_code = {"none": 1, "lzw": 5, "deflate": 8,
+                     "packbits": 32773}[compression]
+        entries = [
+            (_T_IMAGE_WIDTH, 4, [w]),
+            (_T_IMAGE_LENGTH, 4, [h]),
+            (_T_BITS_PER_SAMPLE, 3, [dt.itemsize * 8] * b),
+            (_T_COMPRESSION, 3, [comp_code]),
+            (_T_PHOTOMETRIC, 3, [2 if b >= 3 else 1]),
+            (_T_SAMPLES_PER_PIXEL, 3, [b]),
+            (_T_PLANAR_CONFIG, 3, [1]),
+            (_T_SAMPLE_FORMAT, 3, [fmt] * b),
+        ]
+        if is_overview:
+            entries.append((254, 4, [1]))  # NewSubfileType: reduced-res
+        if predictor:
+            entries.append((_T_PREDICTOR, 3, [2]))
+        if layout == "strips":
+            entries += [
+                (_T_ROWS_PER_STRIP, 4, [rows_per_strip]),
+                (_T_STRIP_OFFSETS, off_type, None),      # patched below
+                (_T_STRIP_BYTE_COUNTS, off_type, [len(s) for s in segs]),
+            ]
+        else:
+            entries += [
+                (_T_TILE_WIDTH, 3, [tile_size]),
+                (_T_TILE_LENGTH, 3, [tile_size]),
+                (_T_TILE_OFFSETS, off_type, None),
+                (_T_TILE_BYTE_COUNTS, off_type, [len(s) for s in segs]),
+            ]
+        if b == 4:
+            entries.append((_T_EXTRA_SAMPLES, 3, [2]))
+        if not is_overview:
+            gt = fx["geotransform"] or Geotransform.from_bbox(
+                fx["bbox"], fx["width"], fx["height"]).gt
+            if gt[2] == 0.0 and gt[4] == 0.0:
+                entries.append((_T_MODEL_PIXEL_SCALE, 12, [gt[1], -gt[5], 0.0]))
+                entries.append((_T_MODEL_TIEPOINT, 12,
+                                [0.0, 0.0, 0.0, gt[0], gt[3], 0.0]))
+            else:
+                entries.append((_T_MODEL_TRANSFORMATION, 12, [
+                    gt[1], gt[2], 0.0, gt[0],
+                    gt[4], gt[5], 0.0, gt[3],
+                    0.0, 0.0, 0.0, 0.0,
+                    0.0, 0.0, 0.0, 1.0,
+                ]))
+            srs = int(fx["srs"])
+            geo_key = _GK_GEOGRAPHIC_CS if srs == 4326 else _GK_PROJECTED_CS
+            model_type = 2 if srs == 4326 else 1
+            entries.append((_T_GEO_KEY_DIRECTORY, 3,
+                            [1, 1, 0, 2,
+                             _GK_MODEL_TYPE, 0, 1, model_type,
+                             geo_key, 0, 1, srs]))
+            nd = fx.get("no_data")
+            if nd is not None:
+                txt = ("nan" if isinstance(nd, float) and np.isnan(nd)
+                       else repr(float(nd))).encode() + b"\0"
+                entries.append((_T_GDAL_NODATA, 2, txt))
+        entries.sort(key=lambda e: e[0])
+        return entries
+
+    def encode_segs(lv):
+        data = lv["data"]
+        b, h, w = data.shape
+        dt = data.dtype
+        comp_code = {"none": 1, "lzw": 5, "deflate": 8,
+                     "packbits": 32773}[compression]
+        chunky = np.ascontiguousarray(np.moveaxis(data, 0, 2))  # (H,W,B)
+
+        def enc(seg_arr):
+            if predictor:  # horizontal differencing per sample channel
+                seg_arr = seg_arr.astype(np.int64)
+                seg_arr = np.concatenate(
+                    [seg_arr[:, :1], np.diff(seg_arr, axis=1)], axis=1
+                ).astype(dt)  # wraps mod 2^bits for integer dtypes
+            return seg_arr.tobytes()
+
+        segs = []
+        if layout == "strips":
+            for r0 in range(0, h, rows_per_strip):
+                segs.append(enc(chunky[r0:r0 + rows_per_strip]))
+        else:
+            ts = tile_size
+            for j in range(0, h, ts):
+                for i in range(0, w, ts):
+                    tile = np.zeros((ts, ts, b), dtype=dt)
+                    blockv = chunky[j:j + ts, i:i + ts]
+                    tile[: blockv.shape[0], : blockv.shape[1]] = blockv
+                    segs.append(enc(tile))
+        if comp_code == 8:
+            segs = [zlib.compress(s, 6) for s in segs]
+        elif comp_code == 5:
+            segs = [_lzw_encode(s) for s in segs]
+        elif comp_code == 32773:
+            # §9: each scanline is packed separately
+            row_bytes = (w if layout == "strips" else tile_size) * b * dt.itemsize
+            segs = [b"".join(_packbits_encode_row(s[k:k + row_bytes])
+                             for k in range(0, len(s), row_bytes))
+                    for s in segs]
+        return segs
+
+    # layout: header | L0 segments+OOL | L1 segments+OOL | ... | IFD chain
+    out = bytearray(header)
     pos = hdr_len
-    body = bytearray()
-    for s in segs:
-        seg_offsets.append(pos)
-        body += s
-        pos += len(s)
-        if pos % 2:                      # word-align next segment
-            body += b"\0"
-            pos += 1
-    for i, (code, typ, vals) in enumerate(entries):
-        if vals is None:
-            entries[i] = (code, typ, seg_offsets)
+    level_packed = []
+    for li, lv in enumerate(levels):
+        segs = encode_segs(lv)
+        seg_offsets = []
+        for s in segs:
+            seg_offsets.append(pos)
+            out += s
+            pos += len(s)
+            if pos % 2:                  # word-align next segment
+                out += b"\0"
+                pos += 1
+        entries = level_entries(lv, segs, is_overview=li > 0)
+        for i, (code, typ, vals) in enumerate(entries):
+            if vals is None:
+                entries[i] = (code, typ, seg_offsets)
+        packed = []
+        for code, typ, vals in entries:
+            fmt_c, _sz = _TYPES[typ]
+            if typ == 2:
+                raw = bytes(vals)
+                count = len(raw)
+            else:
+                raw = struct.pack("<" + fmt_c * len(vals), *vals)
+                count = len(vals)
+            if len(raw) <= inline_cap:
+                packed.append((code, typ, count, raw.ljust(inline_cap, b"\0")))
+            else:
+                if pos % 2:
+                    out += b"\0"
+                    pos += 1
+                packed.append((code, typ, count,
+                               struct.pack("<" + off_fmt, pos).ljust(
+                                   inline_cap, b"\0")))
+                out += raw
+                pos += len(raw)
+        level_packed.append(packed)
 
-    extra = bytearray()
-    packed = []
-    for code, typ, vals in entries:
-        fmt_c, sz = _TYPES[typ]
-        if typ == 2:
-            raw = bytes(vals)
-            count = len(raw)
+    # the IFD chain at the end: every IFD's size is known up front, so
+    # each next-IFD pointer is computable before writing
+    if pos % 2:
+        out += b"\0"
+        pos += 1
+
+    def ifd_size(n):
+        return (8 + n * 20 + 8) if big else (2 + n * 12 + 4)
+
+    ifd_offs = []
+    cur = pos
+    for packed in level_packed:
+        ifd_offs.append(cur)
+        cur += ifd_size(len(packed))
+    for i, packed in enumerate(level_packed):
+        nxt = ifd_offs[i + 1] if i + 1 < len(level_packed) else 0
+        if big:
+            out += struct.pack("<Q", len(packed))
+            for code, typ, count, inline in packed:
+                out += struct.pack("<HHQ", code, typ, count) + inline
+            out += struct.pack("<Q", nxt)
         else:
-            raw = struct.pack("<" + fmt_c * len(vals), *vals)
-            count = len(vals)
-        if len(raw) <= inline_cap:
-            packed.append((code, typ, count, raw.ljust(inline_cap, b"\0"), None))
-        else:
-            packed.append((code, typ, count, None, bytes(raw)))
-    # out-of-line area starts after segments
-    ool_off = pos
-    for i, (code, typ, count, inline, raw) in enumerate(packed):
-        if raw is not None:
-            if ool_off % 2:
-                extra += b"\0"
-                ool_off += 1
-            packed[i] = (code, typ, count,
-                         struct.pack("<" + off_fmt, ool_off).ljust(inline_cap, b"\0"),
-                         None)
-            extra += raw
-            ool_off += len(raw)
-    ifd_off = ool_off + (ool_off % 2)
-    if ool_off % 2:
-        extra += b"\0"
+            out += struct.pack("<H", len(packed))
+            for code, typ, count, inline in packed:
+                out += struct.pack("<HHI", code, typ, count) + inline
+            out += struct.pack("<I", nxt)
 
-    if big:
-        ifd = struct.pack("<Q", len(packed))
-        for code, typ, count, inline, _ in packed:
-            ifd += struct.pack("<HHQ", code, typ, count) + inline
-        ifd += struct.pack("<Q", 0)  # no next IFD
-    else:
-        ifd = struct.pack("<H", len(packed))
-        for code, typ, count, inline, _ in packed:
-            ifd += struct.pack("<HHI", code, typ, count) + inline
-        ifd += struct.pack("<I", 0)
-
-    out = bytearray(header) + body + extra + ifd
-    struct.pack_into("<" + off_fmt, out, 4 if not big else 8, ifd_off)
+    struct.pack_into("<" + off_fmt, out, 4 if not big else 8, ifd_offs[0])
     return bytes(out)
 
 
 # ------------------------------------------------------- Spark ingestion
 
 
-def tiff_chunks_df(spark, path, chunk=256, halo=8):
+def tiff_chunks_df(spark, path, chunk=256, halo=8, level=0, scale=None):
     """Real-file ingestion: ``binaryFile`` source -> Arrow-batched
     per-file TIFF decode -> CHUNK_SCHEMA rows (same chunking + halo
     duplication as synthetic ingestion, so the output feeds
     warp_tiles(join_strategy='chunks') unchanged).
+
+    ``level``: overview IFD to decode (0 = full resolution).  ``scale``:
+    instead of a fixed level, pick PER FILE the coarsest overview still
+    at least as fine as ``scale`` source-pixels-per-output-pixel
+    (select_overview — the GDAL rule).  Warping a z5 tile pyramid from
+    a 100k-px raster should decode the matching overview's KBs, not the
+    full-resolution GBs; at corpus scale this is the difference between
+    touching ~1/f^2 of the bytes and all of them.
 
     Scale shape: binaryFile yields one split per file, so decode
     parallelism = file count; no driver-side I/O, no collect.  The
@@ -625,7 +723,9 @@ def tiff_chunks_df(spark, path, chunk=256, halo=8):
             rows = []
             for p, content in zip(pdf["path"], pdf["content"]):
                 rid = os.path.splitext(os.path.basename(str(p)))[0]
-                fx = read_tiff(bytes(content), raster_id=rid)
+                raw = bytes(content)
+                lv = select_overview(raw, scale) if scale is not None else level
+                fx = read_tiff(raw, raster_id=rid, level=lv)
                 rows.extend(fixture_chunk_records(fx, chunk=chunk, halo=halo))
             if rows:
                 yield pd.DataFrame(rows)

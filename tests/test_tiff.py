@@ -241,3 +241,79 @@ def test_bigtiff_roundtrip(layout, compression):
     classic = read_tiff(write_tiff(fx, compression=compression, layout=layout))
     np.testing.assert_array_equal(got["data"], classic["data"])
     assert got["geotransform"] == classic["geotransform"]
+
+
+@pytest.mark.parametrize("compression,big", [("deflate", False), ("lzw", True)])
+def test_tiff_overview_pyramid(compression, big):
+    """Multi-IFD overview pyramid (the layout real GeoTIFFs carry):
+    writer chains reduced-resolution IFDs (NewSubfileType=1, nearest
+    decimation, geo tags only on IFD 0); reader exposes each level with
+    the decimation-scaled geotransform and the SAME bbox."""
+    from geowarp_spark.sources.tiff import tiff_overview_levels
+
+    fx = build_fixture("rgb_smallscale")
+    buf = write_tiff(fx, compression=compression, overviews=[2, 4], big=big)
+    h, w = fx["height"], fx["width"]
+    assert tiff_overview_levels(buf) == [
+        (w, h), (-(-w // 2), -(-h // 2)), (-(-w // 4), -(-h // 4))]
+    full = read_tiff(buf, raster_id="r", level=0)
+    np.testing.assert_array_equal(full["data"], fx["data"])
+    for lv, f in ((1, 2), (2, 4)):
+        got = read_tiff(buf, raster_id="r", level=lv)
+        np.testing.assert_array_equal(got["data"], fx["data"][:, ::f, ::f])
+        # geo: same origin, pixel size scaled by the decimation factor
+        g0, gk = full["geotransform"], got["geotransform"]
+        assert gk[0] == g0[0] and gk[3] == g0[3]
+        ww = got["width"]
+        np.testing.assert_allclose(gk[1], g0[1] * w / ww)
+        assert got["srs"] == full["srs"] and got["no_data"] == full["no_data"]
+    with pytest.raises(ValueError, match="out of range"):
+        read_tiff(buf, level=3)
+
+
+def test_tiff_select_overview_gdal_rule():
+    from geowarp_spark.sources.tiff import select_overview
+
+    fx = build_fixture("rgb_smallscale")
+    buf = write_tiff(fx, overviews=[2, 4])
+    assert select_overview(buf, 1.0) == 0     # full res needed
+    assert select_overview(buf, 1.9) == 0     # 2x overview would be coarser
+    assert select_overview(buf, 2.0) == 1
+    assert select_overview(buf, 3.9) == 1
+    assert select_overview(buf, 4.0) == 2
+    assert select_overview(buf, 100.0) == 2   # coarsest available
+    # a single-IFD file always selects level 0
+    assert select_overview(write_tiff(fx), 100.0) == 0
+
+
+def test_tiff_ingest_overview_scale(spark, tmp_path):
+    """scale= ingestion decodes the matching overview: chunk rows from
+    tiff_chunks_df(scale=2) equal chunking the decimated fixture
+    directly, and the warp over them equals the decimated warp."""
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.operators.warp_tiles import chunks_to_df
+    from geowarp_spark.sources.tiff import tiff_chunks_df
+
+    fx = build_fixture("rgb_smallscale")
+    path = tmp_path / "ov.tif"
+    path.write_bytes(write_tiff(fx, compression="deflate", overviews=[2]))
+
+    got = tiff_chunks_df(spark, str(path), chunk=64, halo=8, scale=2.0)
+    dec = dict(fx, data=np.ascontiguousarray(fx["data"][:, ::2, ::2]))
+    dec["width"], dec["height"] = dec["data"].shape[2], dec["data"].shape[1]
+    from geowarp_spark.kernels.affine import Geotransform
+    g = fx["geotransform"] or Geotransform.from_bbox(
+        fx["bbox"], fx["width"], fx["height"]).gt
+    dec["geotransform"] = [g[0], g[1] * fx["width"] / dec["width"], g[2],
+                           g[3], g[4], g[5] * fx["height"] / dec["height"]]
+    want = chunks_to_df(spark, dec, chunk=64, halo=8)
+
+    # raster_id differs by construction (filename vs fixture id); the
+    # payload and offsets must match exactly
+    key = ["row_off", "col_off"]
+    a = {tuple(r[k] for k in key): r["crc"] for r in
+         got.select(*key, F.crc32("data").alias("crc")).collect()}
+    b = {tuple(r[k] for k in key): r["crc"] for r in
+         want.select(*key, F.crc32("data").alias("crc")).collect()}
+    assert a == b and len(a) > 0
