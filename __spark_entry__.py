@@ -824,7 +824,10 @@ def q_warp_tiff_ingest(spark, sf_dir):
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "rgb_smallscale_deflate_tiles.tif")
     with open(path, "wb") as f:
-        f.write(write_tiff(fx, compression="deflate", layout="tiles"))
+        # one file, two IFDs: full resolution + a 1/2 overview (the
+        # pyramid layout real GeoTIFFs carry)
+        f.write(write_tiff(fx, compression="deflate", layout="tiles",
+                           overviews=[2]))
     # identical tile cover to warp_fixture_to_tiles(zooms=[9, 10])
     inv = transformer(fx["srs"], 4326)
     bb = reproject_bbox(fx["bbox"], inv.transform, density=16,
@@ -833,7 +836,17 @@ def q_warp_tiff_ingest(spark, sf_dir):
     chunks = tiff_chunks_df(spark, path, chunk=128, halo=8)
     out = warp_tiles(tiles, chunks, method="near", out_size=128,
                      join_strategy="chunks", chunk=128, halo=8)
-    return _warp_tile_stats(out)
+    full = _warp_tile_stats(out).withColumn("mode", F.lit("full"))
+    # overview ingestion: scale=2 selects the 1/2 IFD per file (the GDAL
+    # rule) — the warp must equal the SERIAL warp of the decimated
+    # raster (fixtures/expected_warp_overview.parquet, pinned with its
+    # own decimate=2 serial oracle)
+    ov_tiles = tiles_df(spark, [9], bbox_4326=bb)
+    ov_chunks = tiff_chunks_df(spark, path, chunk=128, halo=8, scale=2.0)
+    ov_out = warp_tiles(ov_tiles, ov_chunks, method="near", out_size=128,
+                        join_strategy="chunks", chunk=128, halo=8)
+    ov = _warp_tile_stats(ov_out).withColumn("mode", F.lit("overview"))
+    return full.unionByName(ov)
 
 
 def q_warp_cutline(spark, sf_dir):
@@ -1555,8 +1568,13 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_FIXTURES_DIR}/expected_warp_tiles.parquet')
         """,
         "warp_tiff_ingest": f"""
-            SELECT z, x, y, method, bands, valid_px, payload_crc
+            SELECT z, x, y, method, bands, valid_px, payload_crc,
+                   'full' AS mode
             FROM read_parquet('{_FIXTURES_DIR}/expected_warp_tiles.parquet')
+            UNION ALL
+            SELECT z, x, y, method, bands, valid_px, payload_crc,
+                   'overview' AS mode
+            FROM read_parquet('{_FIXTURES_DIR}/expected_warp_overview.parquet')
         """,
         "warp_boxstats_chunks": f"""
             SELECT z, x, y, method, bands, valid_px, payload_crc

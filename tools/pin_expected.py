@@ -66,6 +66,12 @@ CONFIGS = {
     "expected_warp_cutline": dict(
         raster_id="rgba_webmerc", zooms=[9], method="median", out_size=64,
         extra="cutline"),
+    # overview-ingest oracle (round 5): the serial warp runs on the
+    # DECIMATED raster — exactly what tiff_chunks_df(scale=2) feeds the
+    # distributed plan when it selects the 1/2 overview IFD
+    "expected_warp_overview": dict(
+        raster_id="rgb_smallscale", zooms=[9], method="near", out_size=128,
+        decimate=2),
 }
 
 
@@ -100,9 +106,20 @@ def _tile_bbox_4326_jvm(x, y, z):
 
 
 def serial_expected(raster_id, zooms, method, out_size, out_srs=3857,
-                    bbox=None, extra=None):
+                    bbox=None, extra=None, decimate=None):
     extra_kw = _extra_kwargs(extra) if extra else {}
     fx = build_fixture(raster_id)
+    if decimate:
+        # nearest decimation + scaled geotransform — identical to
+        # sources.tiff's overview layout (same origin, same bbox,
+        # coarser pixels)
+        d = np.ascontiguousarray(fx["data"][:, ::decimate, ::decimate])
+        g0 = fx["geotransform"] or Geotransform.from_bbox(
+            fx["bbox"], fx["width"], fx["height"]).gt
+        nw, nh = int(d.shape[2]), int(d.shape[1])
+        fx = dict(fx, data=d, width=nw, height=nh, geotransform=[
+            g0[0], g0[1] * fx["width"] / nw, g0[2],
+            g0[3], g0[4], g0[5] * fx["height"] / nh])
     inv = transformer(fx["srs"], 4326)
     bb4326 = bbox if bbox is not None else reproject_bbox(
         fx["bbox"], inv.transform, density=16, nan_strategy="skip")
@@ -168,7 +185,8 @@ def main():
     for name, cfg in CONFIGS.items():
         rows = serial_expected(cfg["raster_id"], cfg["zooms"], cfg["method"],
                                cfg["out_size"], bbox=cfg.get("bbox"),
-                               extra=cfg.get("extra"))
+                               extra=cfg.get("extra"),
+                               decimate=cfg.get("decimate"))
         table = pa.table({
             "z": pa.array([r["z"] for r in rows], pa.int64()),
             "x": pa.array([r["x"] for r in rows], pa.int64()),
@@ -184,7 +202,8 @@ def main():
         # idempotence: a second serial run must produce identical rows
         again = serial_expected(cfg["raster_id"], cfg["zooms"], cfg["method"],
                                 cfg["out_size"], bbox=cfg.get("bbox"),
-                                extra=cfg.get("extra"))
+                                extra=cfg.get("extra"),
+                                decimate=cfg.get("decimate"))
         assert again == rows, f"{name}: serial run not deterministic!"
 
 
