@@ -277,18 +277,36 @@ def q_cell_encode(spark, sf_dir):  # F15: H3/S2-style cell encode + counts
     return spark.sql(_cell_encode_sql())
 
 
-def q_cell_rollup(spark, sf_dir):  # pyramid rollup z12 -> z8 (integer math)
-    _views(spark, sf_dir)
+def _cell_rollup_sql():
+    """Shared (Spark == oracle) z12 -> z8 pyramid rollup under BOTH
+    encoders.  Packed-XYZ parents unpack/shift/repack; the Hilbert
+    parent is PURE ID ARITHMETIC — hd >> 2k (the property real S2
+    exploits: rollups never touch coordinates; tested in
+    test_hilbert_parent_is_id_shift).  Grouping by both parents pins
+    that the two hierarchies agree cell-for-cell."""
+    from geowarp_spark.grid.hilbert import hilbert_nested_sql
+
     cell = _cell_sql("lon", "lat", 12)
-    return spark.sql(f"""
-        WITH pts AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents),
-        base AS (SELECT {cell} AS cell, count(*) AS n FROM pts GROUP BY 1)
+    inner = f"SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents"
+    hil = hilbert_nested_sql(inner, "lon", "lat", 12,
+                             ["doc_id", "lon", "lat"])
+    return f"""
+        WITH pts AS ({hil}),
+        base AS (SELECT {cell} AS cell, hcell, count(*) AS n
+                 FROM pts GROUP BY 1, 2)
         SELECT (CAST({8 << 58} AS BIGINT)
                 + (((cell >> 29) & 536870911) >> 4) * 536870912
                 + ((cell & 536870911) >> 4)) AS pcell,
+               (CAST({8 << 58} AS BIGINT)
+                + ((hcell & {(1 << 58) - 1}) >> 8)) AS phcell,
                CAST(sum(n) AS BIGINT) AS n
-        FROM base GROUP BY 1
-    """)
+        FROM base GROUP BY 1, 2
+    """
+
+
+def q_cell_rollup(spark, sf_dir):  # pyramid rollup z12 -> z8 (integer math)
+    _views(spark, sf_dir)
+    return spark.sql(_cell_rollup_sql())
 
 
 _AFFINE_SQL = """
@@ -1374,15 +1392,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": _KNN_ORACLE,
         "knn_cells": _KNN_ORACLE,
         "cell_encode": _cell_encode_sql(),
-        "cell_rollup": f"""
-            WITH pts AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents),
-            base AS (SELECT {cell12} AS cell, count(*) AS n FROM pts GROUP BY 1)
-            SELECT (CAST({8 << 58} AS BIGINT)
-                    + (((cell >> 29) & 536870911) >> 4) * 536870912
-                    + ((cell & 536870911) >> 4)) AS pcell,
-                   CAST(sum(n) AS BIGINT) AS n
-            FROM base GROUP BY 1
-        """,
+        "cell_rollup": _cell_rollup_sql(),
         "affine": _AFFINE_SQL,
         "clamp_scale": """
             SELECT CAST(least(greatest(l_quantity, 10.0), 40.0) AS BIGINT) AS clamped,
