@@ -89,6 +89,8 @@ def warp(
     read_bands=None,
     row_start=0,
     row_end=None,
+    col_start=0,
+    col_end=None,
     expr=None,
     round_values=False,
     theoretical_min=None,
@@ -240,6 +242,19 @@ def warp(
     row_sel = np.zeros(hs, dtype=bool)
     row_sel[row_start:rmax] = True
     keep_mask = keep_mask & row_sel[:, None]
+    # col range: not a reference option (geowarp.js has only row ranges)
+    # but the chunk-anchored plan's ownership pruning is rectangular —
+    # restricting columns the same way lets a chunk that owns a narrow
+    # column sliver of a tile skip the other columns' box gathers
+    # (the keep mask gates the expensive per-sample window reduction
+    # in _kernel_boxstats; near/bilinear are full-grid vectorized and
+    # unaffected).  Samples outside the range hold fill, exactly like
+    # rows outside row_start/row_end.
+    if col_start or col_end is not None:
+        cmax = min(col_end if col_end is not None else ws, ws)
+        col_sel = np.zeros(ws, dtype=bool)
+        col_sel[col_start:cmax] = True
+        keep_mask = keep_mask & col_sel[None, :]
 
     # ------------------------------------------------ 3. process pipeline
     rb_idx = np.asarray(read_bands, dtype=np.int64)

@@ -554,8 +554,16 @@ def _chunk_partials(rec, method, out_size, out_srs, out_dtype, turbo,
         caller_end = warp_kwargs.get("row_end")
         eff_end = min(hs_s if caller_end is None else int(caller_end),
                       int(srows.max()) + 1)
+        # column restriction (r5): same argument as rows — owned samples
+        # are a rectangle-bounded set, samples outside it are discarded
+        # by the owned-mask crop, so a column-straddling chunk skips the
+        # other columns' box gathers too (col range is engine-internal;
+        # no caller-facing col option exists in the reference)
+        scols = np.nonzero(owned_s.any(axis=0))[0]
         pair_kwargs = dict(warp_kwargs, out_no_data=out_no_data,
-                           row_start=eff_start, row_end=eff_end)
+                           row_start=eff_start, row_end=eff_end,
+                           col_start=int(scols.min()),
+                           col_end=int(scols.max()) + 1)
         if method in ("vectorize", "near-vectorize", "nearest-vectorize"):
             pair_kwargs = dict(warp_kwargs, out_no_data=out_no_data)
         row = _stitch_and_warp(

@@ -440,3 +440,29 @@ def test_builtin_epsg_never_uses_pyproj():
 
     for code in (4326, 3857, 3031, 32615, 32760, 26910):
         assert not isinstance(proj.get_projection(code), proj.PyprojProjection)
+
+
+def test_warp_col_range_matches_full_on_kept_region():
+    """r5 engine-internal col_start/col_end (chunk-ownership pruning for
+    the chunks plan): inside the range the output equals the
+    unrestricted warp bit-for-bit; outside it is fill — exactly the
+    row-range contract, transposed."""
+    import numpy as np
+
+    from geowarp_spark.kernels.warp import warp
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgba_webmerc")
+    kw = dict(in_data=fx["data"].astype(np.float64), in_bbox=fx["bbox"],
+              in_srs=fx["srs"], in_height=fx["height"], in_width=fx["width"],
+              in_no_data=fx["no_data"], out_bbox=[-1e6, -1e6, 0, 0],
+              out_srs=3857, out_width=64, out_height=64, out_dtype=fx["dtype"])
+    for method in ("median", "near", "bilinear", "max"):
+        full = warp(**kw, method=method)["block"]
+        sub = warp(**kw, method=method, row_start=10, row_end=40,
+                   col_start=20, col_end=50)["block"]
+        np.testing.assert_array_equal(sub[:, 10:40, 20:50],
+                                      full[:, 10:40, 20:50])
+        outside = np.ones((64, 64), bool)
+        outside[10:40, 20:50] = False
+        assert len(np.unique(sub[:, outside])) <= 2  # fill (+0 for int)
