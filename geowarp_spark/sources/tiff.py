@@ -296,8 +296,41 @@ def _undo_predictor(arr: np.ndarray) -> np.ndarray:
     """Predictor 2: horizontal differencing per row per sample.
     ``arr``: (rows, width, samples) view of one decoded segment."""
     if arr.dtype.kind == "f":
-        raise NotImplementedError("predictor 2 on float samples")
+        raise NotImplementedError(
+            "predictor 2 on float samples (use predictor 3)")
     return np.cumsum(arr.astype(np.int64), axis=1).astype(arr.dtype)
+
+
+def _undo_fp_predictor(seg: bytes, rows: int, width: int, ns: int,
+                       dt: np.dtype) -> np.ndarray:
+    """Predictor 3 (TIFF Technical Note 3, floating-point horizontal
+    differencing): per row, sample bytes are stored PLANE-MAJOR in
+    most-significant-first order (all byte-0s, then all byte-1s, ...)
+    and byte-wise differenced across the row — regardless of the file's
+    byte order (the libtiff convention).  Undo = byte cumsum mod 256,
+    de-interleave planes, reassemble big-endian values."""
+    b = dt.itemsize
+    n = width * ns
+    ba = np.frombuffer(seg, np.uint8)[: rows * n * b].reshape(rows, n * b)
+    acc = np.cumsum(ba, axis=1, dtype=np.uint64).astype(np.uint8)
+    planes = acc.reshape(rows, b, n)
+    byts = np.ascontiguousarray(np.transpose(planes, (0, 2, 1)))
+    a = np.frombuffer(byts.tobytes(), dtype=dt.newbyteorder(">"))
+    return a.reshape(rows, width, ns).astype(dt.newbyteorder("="))
+
+
+def _fp_predict_row_bytes(seg_arr: np.ndarray, dt: np.dtype) -> bytes:
+    """Writer side of predictor 3: big-endian bytes -> plane-major ->
+    byte-wise differencing (uint8 arithmetic wraps mod 256)."""
+    rows, width, ns = seg_arr.shape
+    b = dt.itemsize
+    be = np.ascontiguousarray(seg_arr.astype(dt.newbyteorder(">")))
+    byts = np.frombuffer(be.tobytes(), np.uint8).reshape(rows, width * ns, b)
+    planes = np.ascontiguousarray(
+        np.transpose(byts, (0, 2, 1))).reshape(rows, -1)
+    diff = planes.copy()
+    diff[:, 1:] = planes[:, 1:] - planes[:, :-1]
+    return diff.tobytes()
 
 
 def _parse_header(buf: bytes):
@@ -386,11 +419,14 @@ def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0) -> dict:
     dt = _np_dtype(bits, fmt).newbyteorder(bo)
 
     def finish_seg(seg, rows, width):
-        a = np.frombuffer(seg, dtype=dt)
         ns = spp if planar == 1 else 1
-        a = a[: rows * width * ns].reshape(rows, width, ns)
-        if predictor == 2:
-            a = _undo_predictor(a)
+        if predictor == 3:
+            a = _undo_fp_predictor(seg, rows, width, ns, dt)
+        else:
+            a = np.frombuffer(seg, dtype=dt)
+            a = a[: rows * width * ns].reshape(rows, width, ns)
+            if predictor == 2:
+                a = _undo_predictor(a)
         return a
 
     if _T_TILE_OFFSETS in t:
@@ -534,7 +570,7 @@ def write_tiff(fx: dict, *, compression="none", layout="strips",
         if is_overview:
             entries.append((254, 4, [1]))  # NewSubfileType: reduced-res
         if predictor:
-            entries.append((_T_PREDICTOR, 3, [2]))
+            entries.append((_T_PREDICTOR, 3, [3 if predictor == 3 else 2]))
         if layout == "strips":
             entries += [
                 (_T_ROWS_PER_STRIP, 4, [rows_per_strip]),
@@ -588,7 +624,9 @@ def write_tiff(fx: dict, *, compression="none", layout="strips",
         chunky = np.ascontiguousarray(np.moveaxis(data, 0, 2))  # (H,W,B)
 
         def enc(seg_arr):
-            if predictor:  # horizontal differencing per sample channel
+            if predictor == 3:  # TechNote3 floating-point differencing
+                return _fp_predict_row_bytes(seg_arr, dt)
+            if predictor:  # 2/True: horizontal differencing per sample
                 seg_arr = seg_arr.astype(np.int64)
                 seg_arr = np.concatenate(
                     [seg_arr[:, :1], np.diff(seg_arr, axis=1)], axis=1

@@ -317,3 +317,27 @@ def test_tiff_ingest_overview_scale(spark, tmp_path):
     b = {tuple(r[k] for k in key): r["crc"] for r in
          want.select(*key, F.crc32("data").alias("crc")).collect()}
     assert a == b and len(a) > 0
+
+
+@pytest.mark.parametrize("compression", ["deflate", "lzw"])
+def test_tiff_fp_predictor_roundtrip(compression):
+    """Predictor 3 (TIFF Technical Note 3, floating-point byte
+    differencing) — the layout real float DEM GeoTIFFs use.  NaN
+    payloads round-trip bit-exactly; stored bytes genuinely differ from
+    the unpredicted encoding."""
+    fx = build_fixture("nan_polar")  # float32 with NaNs
+    buf = write_tiff(fx, compression=compression, predictor=3)
+    got = read_tiff(buf, raster_id="nan_polar")
+    np.testing.assert_array_equal(got["data"], fx["data"])
+    assert buf != write_tiff(fx, compression=compression, predictor=False)
+    # predictor tag value is 3
+    from geowarp_spark.sources.tiff import _ifd_chain
+    _bo, _big, chain = _ifd_chain(buf)
+    assert chain[0][317] == [3]
+
+
+def test_tiff_predictor2_on_float_still_raises():
+    from geowarp_spark.sources.tiff import _undo_predictor
+
+    with pytest.raises(NotImplementedError, match="predictor 3"):
+        _undo_predictor(np.zeros((2, 3, 1), dtype=np.float32))
