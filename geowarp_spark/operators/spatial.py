@@ -304,28 +304,38 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
 
 
 def cell_rollup(points: DataFrame, z_levels, lon="lon", lat="lat",
-                value_col=None) -> DataFrame:
+                value_col=None, scheme: str = "equirect") -> DataFrame:
     """Tile-pyramid rollup (hypertable-rollup analog): count (+optional
     mean) per cell at the finest level, then integer-math parent rollups —
     each coarser level aggregates the previous one, not the raw points
-    (partial aggregation reuse, minimal shuffle)."""
+    (partial aggregation reuse, minimal shuffle).
+
+    ``scheme='hilbert'``: parents are PURE ID ARITHMETIC (hd >> 2k —
+    no coordinate unpack/repack at all), the property that makes
+    S2-style ids the right sharding key at scale: a parent rollup is a
+    shift, and a parent's children are one contiguous id range."""
     z0 = max(z_levels)
     aggs = [F.count(F.lit(1)).alias("n")]
     if value_col:
         aggs.append(F.sum(value_col).alias("val_sum"))
-    base = points.withColumn("cell", F.expr(cell_sql_expr(lon, lat, z0))).groupBy(
+    base = _encode_cells(points, z0, lon, lat, scheme).groupBy(
         "cell"
     ).agg(*aggs).withColumn("z", F.lit(z0))
     levels = [base]
     prev = base
     prev_z = z0
     mask = F.lit((1 << 29) - 1).cast("bigint")
+    d_mask = F.lit((1 << 58) - 1).cast("bigint")
     for z in sorted([z for z in z_levels if z != z0], reverse=True):
         d = prev_z - z
-        # unpack, shift, repack with pure integer ops
-        x = F.shiftright(F.shiftright(F.col("cell"), 29).bitwiseAND(mask), d)
-        y = F.shiftright(F.col("cell").bitwiseAND(mask), d)
-        pcell = (F.lit(z).cast("bigint") * F.lit(1 << 58).cast("bigint")) + (x * F.lit(1 << 29)) + y
+        if scheme == "hilbert":
+            pcell = (F.lit(z).cast("bigint") * F.lit(1 << 58).cast("bigint")
+                     + F.shiftright(F.col("cell").bitwiseAND(d_mask), 2 * d))
+        else:
+            # unpack, shift, repack with pure integer ops
+            x = F.shiftright(F.shiftright(F.col("cell"), 29).bitwiseAND(mask), d)
+            y = F.shiftright(F.col("cell").bitwiseAND(mask), d)
+            pcell = (F.lit(z).cast("bigint") * F.lit(1 << 58).cast("bigint")) + (x * F.lit(1 << 29)) + y
         rolled_aggs = [F.sum("n").alias("n")]
         if value_col:
             rolled_aggs.append(F.sum("val_sum").alias("val_sum"))

@@ -391,7 +391,8 @@ def select_overview(buf: bytes, scale: float) -> int:
     return best
 
 
-def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0) -> dict:
+def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0,
+              window=None) -> dict:
     """Decode a baseline (Geo)TIFF byte string into the engine's fixture
     dict (same shape as sources.fixtures.build_fixture, so
     fixture_chunk_records / chunk_fixture work unchanged).
@@ -400,7 +401,17 @@ def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0) -> dict:
     (the pyramid real GeoTIFFs carry so low-zoom reads touch KBs, not
     the full raster).  Geo referencing for overviews derives from IFD
     0's geotransform scaled by the decimation factor (GDAL convention:
-    geo tags live on the first IFD; same bbox, coarser pixels)."""
+    geo tags live on the first IFD; same bbox, coarser pixels).
+
+    ``window``: (row0, row1, col0, col1) half-open pixel window in
+    LEVEL coordinates — only the strips/tiles intersecting the window
+    are decompressed (the cloud-optimized-GeoTIFF partial-read access
+    pattern: a windowed read of a tiled+pyramided file touches
+    O(window) bytes, not O(raster)).  The returned fixture's
+    geotransform/bbox are translated so downstream warp code needs no
+    window awareness.  The dict carries ``segments_decoded`` /
+    ``segments_total`` so callers (and tests) can verify the partial
+    decode actually pruned."""
     bo, big, chain = _ifd_chain(buf)
     if not (0 <= level < len(chain)):
         raise ValueError(f"TIFF has {len(chain)} IFD(s); level {level} "
@@ -410,6 +421,16 @@ def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0) -> dict:
 
     w = int(t[_T_IMAGE_WIDTH][0])
     h = int(t[_T_IMAGE_LENGTH][0])
+    if window is None:
+        wr0, wr1, wc0, wc1 = 0, h, 0, w
+    else:
+        wr0, wr1, wc0, wc1 = window
+        wr0, wr1 = max(0, int(wr0)), min(h, int(wr1))
+        wc0, wc1 = max(0, int(wc0)), min(w, int(wc1))
+        if wr0 >= wr1 or wc0 >= wc1:
+            raise ValueError(f"empty window {window} for {w}x{h} level")
+    wh, ww = wr1 - wr0, wc1 - wc0
+    n_decoded = 0
     spp = int(t.get(_T_SAMPLES_PER_PIXEL, [1])[0])
     bits = int(t.get(_T_BITS_PER_SAMPLE, [8])[0])
     fmt = int(t.get(_T_SAMPLE_FORMAT, [1])[0])
@@ -439,16 +460,19 @@ def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0) -> dict:
         per_plane = tx * ty
         planes = spp if planar == 2 else 1
         ns = spp if planar == 1 else 1
-        full = np.zeros((planes, h, w, ns), dtype=dt.newbyteorder("="))
+        n_total = per_plane * planes
+        full = np.zeros((planes, wh, ww, ns), dtype=dt.newbyteorder("="))
         for p in range(planes):
-            for j in range(ty):
-                for i in range(tx):
+            for j in range(wr0 // th, (wr1 - 1) // th + 1):
+                for i in range(wc0 // tw, (wc1 - 1) // tw + 1):
                     k = p * per_plane + j * tx + i
                     a = finish_seg(_segment(buf, offs, cnts, k, comp), th, tw)
+                    n_decoded += 1
                     r0, c0 = j * th, i * tw
-                    rr = min(th, h - r0)
-                    cc = min(tw, w - c0)
-                    full[p, r0:r0 + rr, c0:c0 + cc] = a[:rr, :cc]
+                    a0, a1 = max(r0, wr0), min(r0 + th, wr1, h)
+                    b0, b1 = max(c0, wc0), min(c0 + tw, wc1, w)
+                    full[p, a0 - wr0:a1 - wr0, b0 - wc0:b1 - wc0] = \
+                        a[a0 - r0:a1 - r0, b0 - c0:b1 - c0]
     else:
         rps = int(t.get(_T_ROWS_PER_STRIP, [h])[0])
         offs = t[_T_STRIP_OFFSETS]
@@ -456,14 +480,17 @@ def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0) -> dict:
         per_plane = (h + rps - 1) // rps
         planes = spp if planar == 2 else 1
         ns = spp if planar == 1 else 1
-        full = np.zeros((planes, h, w, ns), dtype=dt.newbyteorder("="))
+        n_total = per_plane * planes
+        full = np.zeros((planes, wh, ww, ns), dtype=dt.newbyteorder("="))
         for p in range(planes):
-            for s in range(per_plane):
+            for s in range(wr0 // rps, (wr1 - 1) // rps + 1):
                 r0 = s * rps
                 rows = min(rps, h - r0)
                 a = finish_seg(_segment(buf, offs, cnts, p * per_plane + s, comp),
                                rows, w)
-                full[p, r0:r0 + rows] = a
+                n_decoded += 1
+                a0, a1 = max(r0, wr0), min(r0 + rows, wr1)
+                full[p, a0 - wr0:a1 - wr0] = a[a0 - r0:a1 - r0, wc0:wc1]
 
     if planar == 1:
         data = np.ascontiguousarray(np.moveaxis(full[0], 2, 0))  # (S,H,W)
@@ -485,6 +512,11 @@ def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0) -> dict:
         fx = int(t0[_T_IMAGE_WIDTH][0]) / w
         fy = int(t0[_T_IMAGE_LENGTH][0]) / h
         gt = [gt[0], gt[1] * fx, gt[2] * fy, gt[3], gt[4] * fx, gt[5] * fy]
+    if window is not None:
+        # translate the origin to the window's top-left pixel
+        gt = [gt[0] + wc0 * gt[1] + wr0 * gt[2], gt[1], gt[2],
+              gt[3] + wc0 * gt[4] + wr0 * gt[5], gt[4], gt[5]]
+    w, h = ww, wh
 
     srs = 0
     if _T_GEO_KEY_DIRECTORY in t0:
@@ -514,6 +546,8 @@ def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0) -> dict:
         "dtype": str(data.dtype),
         "no_data": no_data,
         "data": data,
+        "segments_decoded": int(n_decoded),
+        "segments_total": int(n_total),
     }
 
 

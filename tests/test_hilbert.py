@@ -120,3 +120,30 @@ def test_knn_cells_hilbert_polar_opposite_latitude(spark):
     cells = {tuple(r) for r in
              knn_join_cells(pts, q, k=3, z=4, ring=1, scheme="hilbert").collect()}
     assert len(brute) == 3 and cells == brute
+
+def test_cell_rollup_hilbert_equals_equirect_counts(spark):
+    """cell_rollup(scheme='hilbert') aggregates the SAME grid squares as
+    the equirect scheme — per-level count multisets match exactly, and
+    every hilbert parent id equals pack(z, xy_to_d(z, x>>d, y>>d)) of
+    its equirect twin."""
+    from collections import Counter
+
+    from geowarp_spark.grid.hilbert import pack_hilbert, xy_to_d
+    from geowarp_spark.grid.tiles import unpack_cell
+    from geowarp_spark.operators.spatial import cell_rollup
+
+    rng = np.random.default_rng(21)
+    pts = [(int(i), float(lo), float(la)) for i, (lo, la) in enumerate(zip(
+        rng.uniform(-30, 30, 600), rng.uniform(10, 60, 600)))]
+    df = spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+    eq = cell_rollup(df, [12, 10, 8]).collect()
+    hi = cell_rollup(df, [12, 10, 8], scheme="hilbert").collect()
+    for z in (12, 10, 8):
+        eqz = [r for r in eq if r["z"] == z]
+        hiz = {r["cell"]: r["n"] for r in hi if r["z"] == z}
+        assert Counter(r["n"] for r in eqz) == Counter(hiz.values())
+        # exact id correspondence
+        for r in eqz:
+            zz, x, y = unpack_cell(np.array([r["cell"]]))
+            want = int(pack_hilbert(z, xy_to_d(z, x, y))[0])
+            assert hiz[want] == r["n"]

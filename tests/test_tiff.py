@@ -341,3 +341,32 @@ def test_tiff_predictor2_on_float_still_raises():
 
     with pytest.raises(NotImplementedError, match="predictor 3"):
         _undo_predictor(np.zeros((2, 3, 1), dtype=np.float32))
+
+
+@pytest.mark.parametrize("layout", ["tiles", "strips"])
+def test_tiff_windowed_read_is_partial(layout):
+    """COG-style windowed decode: only intersecting segments are
+    decompressed, payload equals the full-read slice, geotransform is
+    translated to the window origin."""
+    fx = build_fixture("rgb_smallscale")
+    buf = write_tiff(fx, compression="deflate", layout=layout,
+                     tile_size=128, rows_per_strip=64)
+    full = read_tiff(buf)
+    win = read_tiff(buf, window=(100, 300, 50, 200))  # rows clip at 250
+    np.testing.assert_array_equal(win["data"], fx["data"][:, 100:300, 50:200])
+    assert win["segments_decoded"] < win["segments_total"]
+    g, gw = full["geotransform"], win["geotransform"]
+    assert gw[0] == g[0] + 50 * g[1] + 100 * g[2]
+    assert gw[3] == g[3] + 50 * g[4] + 100 * g[5]
+    assert (win["width"], win["height"]) == (150, min(300, fx["height"]) - 100)
+    with pytest.raises(ValueError, match="empty window"):
+        read_tiff(buf, window=(10, 10, 0, 50))
+
+
+def test_tiff_windowed_read_composes_with_overviews():
+    fx = build_fixture("rgb_smallscale")
+    buf = write_tiff(fx, compression="deflate", layout="tiles",
+                     overviews=[2])
+    wo = read_tiff(buf, level=1, window=(10, 100, 20, 120))
+    np.testing.assert_array_equal(
+        wo["data"], fx["data"][:, ::2, ::2][:, 10:100, 20:120])
