@@ -336,7 +336,7 @@ PARTIAL_SCHEMA = StructType([
 def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
                       out_size=256, out_srs=3857, bin_z=6, out_dtype=None,
                       turbo=False, chunk=256, halo=8, out_no_data=None,
-                      **warp_kwargs) -> DataFrame:
+                      mosaic=False, **warp_kwargs) -> DataFrame:
     """Chunk-anchored warp plan for sources too large to broadcast
     (VERDICT r1 'What's wrong' #3): the pixel payload crosses exactly ONE
     exchange, instead of being duplicated per matched tile.
@@ -368,6 +368,18 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
     so a replicated block must have ONE owner — ownership is derived at
     the SAMPLE centers and expanded with the same rounded edge maps
     _materialize uses (see _chunk_partials).
+
+    ``mosaic=True``: merge partials from ALL rasters into ONE tile per
+    (z, x, y) — the multi-source form (a corpus of GeoTIFFs -> one
+    pyramid) the reference's single-raster API cannot express.  Each
+    raster's chunk cores partition only that raster, so out pixels
+    covered by several rasters get one owned partial PER raster;
+    overlaps resolve deterministically by ascending raster_id (later id
+    wins — a fixed, engine-independent precedence).  Where sources
+    don't overlap and tile seams need no cross-source resampling
+    support (always true for 'near'), the mosaic of raster PIECES is
+    bit-identical to warping the undivided raster
+    (test_warp_mosaic_of_halves_equals_whole).
 
     Proven bit-identical to the mosaic plans by
     test_warp_tiles_all_strategies_identical and
@@ -416,7 +428,7 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
             for rec in pdf.to_dict("records"):
                 rows.extend(_chunk_partials(
                     rec, method, out_size, out_srs, out_dtype, turbo,
-                    chunk, halo, out_no_data, warp_kwargs))
+                    chunk, halo, out_no_data, warp_kwargs, mosaic=mosaic))
             if rows:
                 yield pd.DataFrame(rows)
 
@@ -425,6 +437,14 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
     fill_out = np.nan if out_no_data is None else float(out_no_data)
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if mosaic:
+            # deterministic cross-raster precedence: apply partials in
+            # ascending raster_id (ties broken by rect origin), so the
+            # highest raster_id wins where sources overlap.  Within one
+            # raster owned rects are disjoint, so this only orders the
+            # cross-raster case.
+            pdf = pdf.sort_values(["raster_id", "r0", "c0"],
+                                  kind="mergesort")
         first = pdf.iloc[0]
         bands = int(first["bands"])
         dt = np.dtype(first["dtype"])
@@ -436,14 +456,27 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
             ).astype(bool).reshape(rh, rw)
             block = np.frombuffer(p.data, dtype=dt).reshape(bands, rh, rw)
             view = canvas[:, int(p.r0):int(p.r0) + rh, int(p.c0):int(p.c0) + rw]
-            view[:, mask] = block[:, mask].astype(np.float64)
+            if mosaic:
+                # GDAL mosaic rule: VALID pixels win over fill.  Edge
+                # chunks own the outside halfplane of their raster (the
+                # box-window edge semantics), so at source seams two
+                # rasters both claim boundary pixels — one holding fill,
+                # which must never clobber the other's real value.
+                # Among valid overlaps, the raster_id sort above decides.
+                bm = block[:, mask].astype(np.float64)
+                validm = np.isfinite(bm)
+                if out_no_data is not None:
+                    validm &= bm != fill_out
+                view[:, mask] = np.where(validm, bm, view[:, mask])
+            else:
+                view[:, mask] = block[:, mask].astype(np.float64)
         # same dtype materialization as kernels.warp._materialize
         data = canvas
         if np.issubdtype(dt, np.integer):
             data = np.nan_to_num(data, nan=0.0, posinf=0.0, neginf=0.0)
         data = data.astype(dt)
         return pd.DataFrame([{
-            "raster_id": first["raster_id"],
+            "raster_id": "mosaic" if mosaic else first["raster_id"],
             "z": int(first["z"]), "x": int(first["x"]), "y": int(first["y"]),
             "method": method_name,
             "bands": bands,
@@ -461,13 +494,14 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
     # keeps its width — and it satisfies the groupBy's clustered
     # distribution, so Catalyst adds NO second exchange: the payload
     # still crosses exactly once.
-    partials = partials.repartition(n_parts, "raster_id", "z", "x", "y")
-    return partials.groupBy("raster_id", "z", "x", "y").applyInPandas(
+    merge_keys = ["z", "x", "y"] if mosaic else ["raster_id", "z", "x", "y"]
+    partials = partials.repartition(n_parts, *merge_keys)
+    return partials.groupBy(*merge_keys).applyInPandas(
         merge, schema=TILE_OUT_SCHEMA)
 
 
 def _chunk_partials(rec, method, out_size, out_srs, out_dtype, turbo,
-                    chunk, halo, out_no_data, warp_kwargs):
+                    chunk, halo, out_no_data, warp_kwargs, mosaic=False):
     """Warp every matched tile from ONE chunk's window; emit owned rects.
 
     Ownership: out SAMPLE centers (the scaled out_resolution grid the
@@ -494,10 +528,19 @@ def _chunk_partials(rec, method, out_size, out_srs, out_dtype, turbo,
     # the raster (geowarp.js:929 tests full-window containment, not the
     # center), and that value must come from exactly one partial
     rh_full, rw_full = int(rec["raster_height"]), int(rec["raster_width"])
-    own_r0 = -np.inf if kr == 0 else kr * chunk
-    own_r1 = np.inf if (kr + 1) * chunk >= rh_full else (kr + 1) * chunk
-    own_c0 = -np.inf if kc == 0 else kc * chunk
-    own_c1 = np.inf if (kc + 1) * chunk >= rw_full else (kc + 1) * chunk
+    # single-raster: edge chunks own the outside halfplane too (box-stat
+    # windows of out pixels whose CENTER lies just past the raster edge
+    # still clip into the raster — geowarp.js:929 — and that value must
+    # come from exactly one partial).  mosaic: "outside my raster"
+    # belongs to OTHER rasters, so ownership clamps to this raster's
+    # extent — otherwise an edge chunk's fill claims a neighbor source's
+    # real pixels at the seam.
+    lo_r, hi_r = (0, rh_full) if mosaic else (-np.inf, np.inf)
+    lo_c, hi_c = (0, rw_full) if mosaic else (-np.inf, np.inf)
+    own_r0 = lo_r if kr == 0 else kr * chunk
+    own_r1 = hi_r if (kr + 1) * chunk >= rh_full else (kr + 1) * chunk
+    own_c0 = lo_c if kc == 0 else kc * chunk
+    own_c1 = hi_c if (kc + 1) * chunk >= rw_full else (kc + 1) * chunk
 
     g = Geotransform(list(rec["geotransform"]))
     srs = int(rec["srs"])

@@ -976,3 +976,70 @@ def test_star_cc_single_action_per_round(spark):
         assert got == {(i, 0) for i in range(31)}
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def test_warp_mosaic_of_halves_equals_whole(spark):
+    """Multi-raster mosaic (round 5): warping TWO half-rasters with
+    mosaic=True must reproduce the single whole-raster warp
+    BIT-IDENTICALLY under 'near' (each out pixel's source center lies in
+    exactly one half, and near needs no cross-source support).  This
+    pins both the cross-raster merge precedence (valid-over-fill at the
+    seam, where each half's edge chunks claim the outside halfplane)
+    and that per-raster chunk grids need no mutual alignment."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.kernels.affine import Geotransform
+    from geowarp_spark.kernels.bbox import reproject_bbox
+    from geowarp_spark.kernels.proj import transformer
+    from geowarp_spark.operators.warp_tiles import (
+        chunks_to_df, tiles_df, warp_tiles)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgb_smallscale")
+    g = fx["geotransform"] or Geotransform.from_bbox(
+        fx["bbox"], fx["width"], fx["height"]).gt
+    split = 165  # deliberately NOT a chunk multiple
+
+    def half(rid, c0, c1):
+        d = np.ascontiguousarray(fx["data"][:, :, c0:c1])
+        gt = [g[0] + c0 * g[1], g[1], g[2], g[3] + c0 * g[4], g[4], g[5]]
+        w, h = int(d.shape[2]), int(d.shape[1])
+        cs = np.array([0.0, w, 0.0, w])
+        rs = np.array([0.0, 0.0, h, h])
+        xs = gt[0] + cs * gt[1] + rs * gt[2]
+        ys = gt[3] + cs * gt[4] + rs * gt[5]
+        return dict(fx, raster_id=rid, data=d, width=w, height=h,
+                    geotransform=gt,
+                    bbox=[float(xs.min()), float(ys.min()),
+                          float(xs.max()), float(ys.max())])
+
+    left = half("a_left", 0, split)
+    right = half("b_right", split, fx["width"])
+    ch = chunks_to_df(spark, left, chunk=128, halo=8).unionByName(
+        chunks_to_df(spark, right, chunk=128, halo=8))
+    inv = transformer(fx["srs"], 4326)
+    bb = reproject_bbox(fx["bbox"], inv.transform, density=16,
+                        nan_strategy="skip")
+    tiles = tiles_df(spark, [9, 10], bbox_4326=bb)
+
+    def crcs(df):
+        return {(r["z"], r["x"], r["y"]): (r["crc"], r["raster_id"]) for r in
+                df.select("raster_id", "z", "x", "y",
+                          F.crc32("data").alias("crc")).collect()}
+
+    mos = crcs(warp_tiles(tiles, ch, method="near", out_size=128,
+                          join_strategy="chunks", chunk=128, halo=8,
+                          mosaic=True))
+    whole = crcs(warp_tiles(tiles, chunks_to_df(spark, fx, chunk=128, halo=8),
+                            method="near", out_size=128,
+                            join_strategy="chunks", chunk=128, halo=8))
+    assert set(mos) == set(whole) and len(mos) > 0
+    for k in whole:
+        assert mos[k][0] == whole[k][0], f"tile {k} differs at the seam"
+        assert mos[k][1] == "mosaic"
+    # determinism across runs (merge order is sorted, not arrival-order)
+    again = crcs(warp_tiles(tiles, ch, method="near", out_size=128,
+                            join_strategy="chunks", chunk=128, halo=8,
+                            mosaic=True))
+    assert again == mos
