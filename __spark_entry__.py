@@ -776,7 +776,49 @@ def q_warp_tiles_chunks(spark, sf_dir):
     fx = build_fixture("rgb_smallscale")
     out = warp_fixture_to_tiles(spark, fx, zooms=[9, 10], method="near", out_size=128,
                                 chunk=128, join_strategy="chunks")
-    return _warp_tile_stats(out)
+    single = _warp_tile_stats(out).withColumn("mode", F.lit("single"))
+
+    # mosaic mode (round 5): the SAME raster split into two unaligned
+    # half-rasters, warped with mosaic=True — must reproduce the same
+    # pinned per-tile bytes (the mosaic-of-pieces == whole equivalence
+    # IS the oracle; seam ownership clamps + valid-over-fill precedence
+    # are all on the hot path)
+    import numpy as np
+
+    from geowarp_spark.kernels.affine import Geotransform
+    from geowarp_spark.kernels.bbox import reproject_bbox
+    from geowarp_spark.kernels.proj import transformer
+    from geowarp_spark.operators.warp_tiles import (
+        chunks_to_df, tiles_df, warp_tiles)
+
+    g = fx["geotransform"] or Geotransform.from_bbox(
+        fx["bbox"], fx["width"], fx["height"]).gt
+
+    def _half(rid, c0, c1):
+        d = np.ascontiguousarray(fx["data"][:, :, c0:c1])
+        gt = [g[0] + c0 * g[1], g[1], g[2], g[3] + c0 * g[4], g[4], g[5]]
+        w, h = int(d.shape[2]), int(d.shape[1])
+        cs = np.array([0.0, w, 0.0, w])
+        rs = np.array([0.0, 0.0, h, h])
+        xs = gt[0] + cs * gt[1] + rs * gt[2]
+        ys = gt[3] + cs * gt[4] + rs * gt[5]
+        return dict(fx, raster_id=rid, data=d, width=w, height=h,
+                    geotransform=gt,
+                    bbox=[float(xs.min()), float(ys.min()),
+                          float(xs.max()), float(ys.max())])
+
+    split = 165  # deliberately not a chunk multiple
+    ch = chunks_to_df(spark, _half("a_left", 0, split), chunk=128, halo=8) \
+        .unionByName(chunks_to_df(spark, _half("b_right", split, fx["width"]),
+                                  chunk=128, halo=8))
+    inv = transformer(fx["srs"], 4326)
+    bb = reproject_bbox(fx["bbox"], inv.transform, density=16,
+                        nan_strategy="skip")
+    mtiles = tiles_df(spark, [9, 10], bbox_4326=bb)
+    mos = warp_tiles(mtiles, ch, method="near", out_size=128,
+                     join_strategy="chunks", chunk=128, halo=8, mosaic=True)
+    return single.unionByName(
+        _warp_tile_stats(mos).withColumn("mode", F.lit("mosaic")))
 
 
 def q_warp_boxstats_chunks(spark, sf_dir):
@@ -1574,7 +1616,12 @@ def oracle_sql() -> dict[str, str]:
         # the chunk-anchored scale plan vs the SAME pinned tables the
         # broadcast plan is checked against (VERDICT r2 next #1)
         "warp_tiles_chunks": f"""
-            SELECT z, x, y, method, bands, valid_px, payload_crc
+            SELECT z, x, y, method, bands, valid_px, payload_crc,
+                   'single' AS mode
+            FROM read_parquet('{_FIXTURES_DIR}/expected_warp_tiles.parquet')
+            UNION ALL
+            SELECT z, x, y, method, bands, valid_px, payload_crc,
+                   'mosaic' AS mode
             FROM read_parquet('{_FIXTURES_DIR}/expected_warp_tiles.parquet')
         """,
         "warp_tiff_ingest": f"""
