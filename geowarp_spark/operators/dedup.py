@@ -15,6 +15,8 @@ shuffle-on-short-key:
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -32,8 +34,6 @@ def exact_dedup(docs: DataFrame, text_col="text", id_col="doc_id",
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_dups"))
     )
 
-
-import itertools
 
 # thread-safe (itertools.count's __next__ is atomic under the GIL) —
 # concurrent plan construction across threads must not race or produce

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..grid.hilbert import with_hilbert_cell
+from ..grid.hilbert import Z_BITS, hilbert_level_exprs, with_hilbert_cell
 from ..grid.tiles import cell_sql_expr
 
 
@@ -163,7 +163,6 @@ def _hilbert_disk(queries, z, ring, qlon, qlat, query_id, exclude_ring=None):
                  f"least(greatest({y0} + dy, 0), {n - 1})"))
              .withColumn("hd0", F.lit(0).cast("bigint"))
              .drop("dx", "dy"))
-        from ..grid.hilbert import Z_BITS, hilbert_level_exprs
         levels = hilbert_level_exprs(z, "hx", "hy", "hd")
         for i, (_s, hd, hx, hy) in enumerate(levels):
             j = i + 1
