@@ -876,18 +876,28 @@ def q_warp_tiff_ingest(spark, sf_dir):
     from geowarp_spark.sources.tiff import tiff_chunks_df, write_tiff
 
     fx = build_fixture("rgb_smallscale")
-    # deterministic path, overwritten per run: the returned DataFrame is
-    # lazy (the driver collects after we return), so the file must
-    # outlive this function — a per-run mkdtemp leaked one dir per driver
-    # run (ADVICE r4 low); a constant name is idempotent and bounded
+    # per-process path + atomic publish: the returned DataFrame is lazy
+    # (the driver collects after we return), so the file must outlive
+    # this function — a per-run mkdtemp leaked one dir per driver run
+    # (ADVICE r4 low), and a constant name let two concurrent drivers
+    # race a truncating write against a lazy read (ADVICE r5 low).  A
+    # pid-suffixed name keeps runs isolated and bounded (same pid reuses
+    # the slot), os.replace makes a partial read impossible, and atexit
+    # reclaims the slot on clean exit.
+    import atexit
+
     d = os.path.join(tempfile.gettempdir(), "geowarp_spark_fixtures")
     os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, "rgb_smallscale_deflate_tiles.tif")
-    with open(path, "wb") as f:
+    path = os.path.join(
+        d, f"rgb_smallscale_deflate_tiles.{os.getpid()}.tif")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
         # one file, two IFDs: full resolution + a 1/2 overview (the
         # pyramid layout real GeoTIFFs carry)
         f.write(write_tiff(fx, compression="deflate", layout="tiles",
                            overviews=[2]))
+    os.replace(tmp, path)
+    atexit.register(lambda p=path: os.path.exists(p) and os.remove(p))
     # identical tile cover to warp_fixture_to_tiles(zooms=[9, 10])
     inv = transformer(fx["srs"], 4326)
     bb = reproject_bbox(fx["bbox"], inv.transform, density=16,

@@ -323,7 +323,8 @@ PARTIAL_SCHEMA = StructType([
     StructField("x", LongType()),
     StructField("y", LongType()),
     StructField("bands", IntegerType()),
-    StructField("dtype", StringType()),
+    StructField("dtype", StringType()),      # payload dtype of `data`
+    StructField("tgt_dtype", StringType()),  # dtype the merged tile materializes to
     StructField("r0", IntegerType()),   # owned-rect offset within the tile
     StructField("c0", IntegerType()),
     StructField("rh", IntegerType()),   # owned-rect height / width
@@ -438,6 +439,15 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         if mosaic:
+            # a mosaic group spans multiple rasters: mixed band counts or
+            # target dtypes cannot merge onto one canvas — fail loudly
+            # instead of reinterpreting another raster's payload bytes
+            if pdf["bands"].nunique() != 1 or pdf["tgt_dtype"].nunique() != 1:
+                raise ValueError(
+                    "mosaic requires uniform bands/dtype across rasters; got "
+                    f"bands={sorted(pdf['bands'].unique().tolist())} "
+                    f"dtypes={sorted(pdf['tgt_dtype'].unique().tolist())} "
+                    "— pass out_dtype= to cast, or mosaic per-dtype groups")
             # deterministic cross-raster precedence: apply partials in
             # ascending raster_id (ties broken by rect origin), so the
             # highest raster_id wins where sources overlap.  Within one
@@ -447,14 +457,18 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
                                   kind="mergesort")
         first = pdf.iloc[0]
         bands = int(first["bands"])
-        dt = np.dtype(first["dtype"])
+        dt = np.dtype(first["tgt_dtype"])
         canvas = np.full((bands, out_size, out_size), fill_out)
         for p in pdf.itertuples(index=False):
             rh, rw = int(p.rh), int(p.rw)
             mask = np.unpackbits(
                 np.frombuffer(p.mask, dtype=np.uint8), count=rh * rw
             ).astype(bool).reshape(rh, rw)
-            block = np.frombuffer(p.data, dtype=dt).reshape(bands, rh, rw)
+            # decode with the partial's OWN payload dtype: in mosaic mode
+            # integer targets ship float64 partials so nodata survives to
+            # the precedence merge (see _chunk_partials)
+            block = np.frombuffer(p.data, dtype=np.dtype(p.dtype)).reshape(
+                bands, rh, rw)
             view = canvas[:, int(p.r0):int(p.r0) + rh, int(p.c0):int(p.c0) + rw]
             if mosaic:
                 # GDAL mosaic rule: VALID pixels win over fill.  Edge
@@ -552,6 +566,18 @@ def _chunk_partials(rec, method, out_size, out_srs, out_dtype, turbo,
     ws_s, _, x_scale = _scale_integer(out_size, xr)
     hs_s, _, y_scale = _scale_integer(out_size, yr)
 
+    tgt_dtype = str(np.dtype(out_dtype)) if out_dtype else str(np.dtype(rec["dtype"]))
+    kernel_dtype = out_dtype
+    if (mosaic and out_no_data is None
+            and np.issubdtype(np.dtype(tgt_dtype), np.integer)):
+        # integer fill materializes NaN to 0, indistinguishable from real
+        # data in the merge's valid-over-fill precedence — warp in
+        # float64 so nodata stays NaN until after precedence; the merge
+        # casts to tgt_dtype with the same nan_to_num _materialize uses,
+        # so the result is bit-identical to the whole-raster path (which
+        # also materializes from a float64 canvas at the end)
+        kernel_dtype = "float64"
+
     out = []
     for tk in rec["tile_keys"]:
         z, x, y = int(tk["z"]), int(tk["x"]), int(tk["y"])
@@ -611,7 +637,7 @@ def _chunk_partials(rec, method, out_size, out_srs, out_dtype, turbo,
             pair_kwargs = dict(warp_kwargs, out_no_data=out_no_data)
         row = _stitch_and_warp(
             [rec], z, x, y, method, method_name, out_size, out_srs,
-            out_dtype, turbo, pair_kwargs,
+            kernel_dtype, turbo, pair_kwargs,
         )
         block = np.frombuffer(row["data"], dtype=row["dtype"]).reshape(
             row["bands"], out_size, out_size)
@@ -624,6 +650,7 @@ def _chunk_partials(rec, method, out_size, out_srs, out_dtype, turbo,
             "z": z, "x": x, "y": y,
             "bands": int(row["bands"]),
             "dtype": row["dtype"],
+            "tgt_dtype": tgt_dtype,
             "r0": r0, "c0": c0, "rh": r1 - r0, "rw": c1 - c0,
             "data": np.ascontiguousarray(block[:, r0:r1, c0:c1]).tobytes(),
             "mask": np.packbits(sub_mask).tobytes(),

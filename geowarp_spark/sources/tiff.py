@@ -217,6 +217,16 @@ def _lzw_encode(data: bytes) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w])
+        # The decoder appends a table entry while processing this final
+        # code (unless it is the first code after a Clear, where the
+        # increment lands harmlessly far from any boundary), so it can
+        # widen BEFORE reading EOI.  Mirror that growth here or EOI gets
+        # written one bit too narrow whenever the stream length lands the
+        # table exactly on an early-change boundary (libtiff
+        # LZWPostEncode does the same).
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(EOI)
     if bufbits:
         out.append((buf << (8 - bufbits)) & 0xFF)

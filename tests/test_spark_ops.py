@@ -1088,3 +1088,79 @@ def test_warp_mosaic_overlap_precedence_deterministic(spark):
     crc1 = {(r["z"], r["x"], r["y"]): r["data"] for r in rows}
     crc2 = {(r["z"], r["x"], r["y"]): r["data"] for r in out.collect()}
     assert crc1 == crc2
+
+
+def test_warp_mosaic_integer_nodata_valid_over_fill(spark):
+    """Integer out dtype with out_no_data=None (ADVICE r5): the winning
+    raster's NODATA pixels must NOT clobber a lower raster's real data.
+    Integer materialization maps NaN->0, so the precedence merge runs on
+    float64 partials for integer targets; a uint8 mosaic where the
+    higher raster is all-nodata must show the lower raster's values."""
+    import numpy as np
+
+    from geowarp_spark.kernels.bbox import reproject_bbox
+    from geowarp_spark.kernels.proj import transformer
+    from geowarp_spark.operators.warp_tiles import (
+        chunks_to_df, tiles_df, warp_tiles)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    base = build_fixture("rgba_webmerc")  # uint8, srs 3857
+
+    def variant(rid, value, no_data=None):
+        d = np.full_like(base["data"], value)
+        return dict(base, raster_id=rid, data=d, no_data=no_data)
+
+    # lower raster: solid 50.  higher raster: solid 7, with 7 declared as
+    # its nodata sentinel -> every one of its pixels is invalid, so the
+    # lower raster's 50 must show through everywhere they overlap.
+    ch = chunks_to_df(spark, variant("a_lo", 50), chunk=256, halo=8) \
+        .unionByName(chunks_to_df(spark, variant("b_hi", 7, no_data=7),
+                                  chunk=256, halo=8))
+    inv = transformer(base["srs"], 4326)
+    bb = reproject_bbox(base["bbox"], inv.transform, density=16,
+                        nan_strategy="skip")
+    tiles = tiles_df(spark, [9], bbox_4326=bb)
+    out = warp_tiles(tiles, ch, method="near", out_size=32,
+                     join_strategy="chunks", chunk=256, halo=8,
+                     mosaic=True)
+    rows = out.collect()
+    assert rows
+    saw_50 = False
+    for r in rows:
+        assert r["dtype"] == "uint8"
+        block = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+            r["bands"], 32, 32)
+        vals = set(np.unique(block).tolist())
+        # covered -> 50 (lower raster shows through nodata); outside -> 0
+        assert vals <= {0, 50}, sorted(vals)
+        saw_50 = saw_50 or 50 in vals
+    assert saw_50
+
+
+def test_warp_mosaic_mixed_dtype_raises(spark):
+    """A mosaic group spanning rasters with different dtypes must fail
+    loudly (ADVICE r5) instead of reinterpreting payload bytes."""
+    import numpy as np
+    import pytest
+
+    from geowarp_spark.kernels.bbox import reproject_bbox
+    from geowarp_spark.kernels.proj import transformer
+    from geowarp_spark.operators.warp_tiles import (
+        chunks_to_df, tiles_df, warp_tiles)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    base = build_fixture("rgba_webmerc")
+    a = dict(base, raster_id="a_u8")
+    b = dict(base, raster_id="b_f32",
+             data=base["data"].astype(np.float32), dtype="float32")
+    ch = chunks_to_df(spark, a, chunk=256, halo=8).unionByName(
+        chunks_to_df(spark, b, chunk=256, halo=8))
+    inv = transformer(base["srs"], 4326)
+    bb = reproject_bbox(base["bbox"], inv.transform, density=16,
+                        nan_strategy="skip")
+    tiles = tiles_df(spark, [9], bbox_4326=bb)
+    out = warp_tiles(tiles, ch, method="near", out_size=32,
+                     join_strategy="chunks", chunk=256, halo=8,
+                     mosaic=True)
+    with pytest.raises(Exception, match="uniform bands/dtype"):
+        out.collect()

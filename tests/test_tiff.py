@@ -102,6 +102,24 @@ def test_lzw_long_stream_width_changes():
     assert _lzw_decode(_lzw_encode(data2)) == data2
 
 
+def test_lzw_flush_boundary_fuzz():
+    """Encoder flush must mirror the decoder's final table append: when
+    the stream length lands the table exactly on an early-change
+    boundary, the decoder widens BEFORE reading EOI, so the encoder must
+    too (libtiff LZWPostEncode).  Binary-alphabet streams of varied
+    length hit the 510/1022/2046 boundaries at the flush ~1/200 trials;
+    before the fix this raised 'corrupt LZW stream' on those lengths."""
+    from geowarp_spark.sources.tiff import _lzw_decode, _lzw_encode
+
+    import random
+
+    rng = random.Random(0)
+    for _ in range(400):
+        n = rng.randint(1, 2000)
+        data = bytes(rng.getrandbits(1) for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+
 def test_packbits_spec_vector():
     """The worked example from TIFF 6.0 §9 (Apple PackBits)."""
     from geowarp_spark.sources.tiff import (_packbits_decode,
