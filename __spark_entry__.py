@@ -277,16 +277,31 @@ def q_cell_encode(spark, sf_dir):  # F15: H3/S2-style cell encode + counts
     return spark.sql(_cell_encode_sql())
 
 
-def _cell_rollup_sql():
+def _cell_rollup_sql(hilbert=True):
     """Shared (Spark == oracle) z12 -> z8 pyramid rollup under BOTH
     encoders.  Packed-XYZ parents unpack/shift/repack; the Hilbert
     parent is PURE ID ARITHMETIC — hd >> 2k (the property real S2
     exploits: rollups never touch coordinates; tested in
     test_hilbert_parent_is_id_shift).  Grouping by both parents pins
-    that the two hierarchies agree cell-for-cell."""
+    that the two hierarchies agree cell-for-cell.  ``hilbert=False``
+    gives the XYZ-only rollup — bench.py times it separately so
+    round-over-round comparisons with the pre-Hilbert rounds stay
+    like-for-like (the driver oracle always runs the dual rollup)."""
     from geowarp_spark.grid.hilbert import hilbert_nested_sql
 
     cell = _cell_sql("lon", "lat", 12)
+    if not hilbert:
+        return f"""
+            WITH pts AS (SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat
+                         FROM documents),
+            base AS (SELECT {cell} AS cell, count(*) AS n
+                     FROM pts GROUP BY 1)
+            SELECT (CAST({8 << 58} AS BIGINT)
+                    + (((cell >> 29) & 536870911) >> 4) * 536870912
+                    + ((cell & 536870911) >> 4)) AS pcell,
+                   CAST(sum(n) AS BIGINT) AS n
+            FROM base GROUP BY 1
+        """
     inner = f"SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents"
     hil = hilbert_nested_sql(inner, "lon", "lat", 12,
                              ["doc_id", "lon", "lat"])
@@ -817,8 +832,25 @@ def q_warp_tiles_chunks(spark, sf_dir):
     mtiles = tiles_df(spark, [9, 10], bbox_4326=bb)
     mos = warp_tiles(mtiles, ch, method="near", out_size=128,
                      join_strategy="chunks", chunk=128, halo=8, mosaic=True)
-    return single.unionByName(
+    out = single.unionByName(
         _warp_tile_stats(mos).withColumn("mode", F.lit("mosaic")))
+
+    # composite-mosaic modes (round 6): mosaic_chunks composites the two
+    # halves on the shared source grid FIRST (valid-over-fill, ascending
+    # raster_id), so bilinear/median windows straddling the raster seam
+    # gather across it — vs serial whole-raster pins of those methods
+    # (reference seam semantics: bilinear edge tree geowarp.js:793-833,
+    # box windows geowarp.js:893-950).  bench.py times each mode
+    # separately via the mode column (VERDICT r5 next #3).
+    from geowarp_spark.operators.warp_tiles import mosaic_chunks
+
+    composite = mosaic_chunks(ch, chunk=128, halo=8)
+    for m in ("bilinear", "median"):
+        cm = warp_tiles(mtiles, composite, method=m, out_size=128,
+                        join_strategy="chunks", chunk=128, halo=8)
+        out = out.unionByName(
+            _warp_tile_stats(cm).withColumn("mode", F.lit(f"mosaic_{m}")))
+    return out
 
 
 def q_warp_boxstats_chunks(spark, sf_dir):
@@ -1633,6 +1665,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT z, x, y, method, bands, valid_px, payload_crc,
                    'mosaic' AS mode
             FROM read_parquet('{_FIXTURES_DIR}/expected_warp_tiles.parquet')
+            UNION ALL
+            SELECT z, x, y, method, bands, valid_px, payload_crc,
+                   'mosaic_bilinear' AS mode
+            FROM read_parquet('{_FIXTURES_DIR}/expected_warp_mosaic_bilinear.parquet')
+            UNION ALL
+            SELECT z, x, y, method, bands, valid_px, payload_crc,
+                   'mosaic_median' AS mode
+            FROM read_parquet('{_FIXTURES_DIR}/expected_warp_mosaic_median.parquet')
         """,
         "warp_tiff_ingest": f"""
             SELECT z, x, y, method, bands, valid_px, payload_crc,

@@ -42,15 +42,47 @@ HEADLINE = [
 ]
 
 
-def run_trial(spark, sf_dir, qs):
+# multi-workload queries timed per mode (VERDICT r5 next #3: round-over-
+# round comparisons must not conflate "plan got slower" with "query got
+# bigger").  Each mode filter folds the other union branches to
+# filter(false) -> pruned, so a mode run computes ONLY that branch; the
+# top-level key is the sum of mode walls.
+MODE_SPLIT = {
+    "warp_tiles_chunks": ["single", "mosaic", "mosaic_bilinear",
+                          "mosaic_median"],
+}
+
+
+def run_trial(spark, sf_dir, qs, extra_qs):
+    from pyspark.sql import functions as F
+
     times = {}
     counts = {}
     for name in HEADLINE:
+        if name in MODE_SPLIT:
+            tot, n_all = 0.0, 0
+            for mode in MODE_SPLIT[name]:
+                t0 = time.time()
+                n = qs[name](spark, sf_dir).filter(
+                    F.col("mode") == mode).count()
+                sec = time.time() - t0
+                times[f"{name}/{mode}"] = round(sec, 3)
+                tot += sec
+                n_all += n
+            times[name] = round(tot, 3)
+            counts[name] = n_all
+        else:
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            times[name] = round(time.time() - t0, 3)
+            counts[name] = n
+    # informational sub-workloads (not in the headline total): e.g. the
+    # XYZ-only rollup, comparable to rounds <= 4 before the Hilbert
+    # hierarchy doubled cell_rollup's work
+    for name, fn in extra_qs.items():
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
+        counts[name] = fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
-        counts[name] = n
     return times, counts
 
 
@@ -73,14 +105,22 @@ def main():
     qs = em.queries()
     qs["agg_minmax"](spark, sf_dir).count()
 
-    raw: dict[str, list] = {name: [] for name in HEADLINE}
+    def _rollup_xyz(spark, sf):
+        em._views(spark, sf)
+        return spark.sql(em._cell_rollup_sql(hilbert=False))
+
+    extra_qs = {"cell_rollup/xyz": _rollup_xyz}
+
+    raw: dict[str, list] = {}
     counts = {}
     for _ in range(n_trials):
-        times, counts = run_trial(spark, sf_dir, qs)
+        times, counts = run_trial(spark, sf_dir, qs, extra_qs)
         for name, sec in times.items():
-            raw[name].append(sec)
+            raw.setdefault(name, []).append(sec)
     best = {name: min(walls) for name, walls in raw.items()}
-    total = round(sum(best.values()), 3)
+    # headline total: top-level query keys only (mode walls are already
+    # summed into their parent; extra_qs keys are informational)
+    total = round(sum(best[name] for name in HEADLINE), 3)
 
     # joined-rows/sec + tiles/sec for the north-rule metric
     lineitem_n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()

@@ -249,9 +249,11 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     enumeration differ (equality-tested against brute force in both
     schemes).
 
-    The per-pass settledness check aggregates only (query, count, kth
-    dist) — queries are the contractually small broadcast side, so the
-    driver sees O(#unsettled queries) rows per pass, never O(points).
+    Settledness is decided DISTRIBUTED (round 6): the unsettled set is a
+    DataFrame (query ids whose count/kth-distance fail the guarantee),
+    re-applied to later passes as broadcast semi-/anti-joins — plan size
+    stays O(1) in #queries (the old ``isin(todo)`` literal list grew the
+    plan linearly), and the driver sees only COUNTS, never id lists.
     Results stay DISTRIBUTED (union of per-pass settled DataFrames);
     nothing unbounded ever lands on the driver.
     """
@@ -260,7 +262,7 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     cur_ring = max(1, int(ring))
     prev_ring = None
     carried = None
-    remaining_ids = None
+    n_remaining = None
     settled_parts: list = []
     while True:
         res = _knn_cells_pass(points, remaining, k, z, cur_ring,
@@ -269,31 +271,38 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
                               scheme=scheme)
         # one evaluation per pass; later passes never recompute this one
         res = res.localCheckpoint(eager=True)
-        if remaining_ids is None:
-            remaining_ids = [r[0] for r in
-                             remaining.select(query_id).distinct().collect()]
-        full_cover = cur_ring >= n - 1
-        guaranteed_d2 = (cur_ring * 180.0 / n) ** 2
-        # settledness stats: <= 1 row per remaining query (tiny collect)
-        stats = {
-            r["q"]: (r["cnt"], r["kth"])
-            for r in res.groupBy(F.col(query_id).alias("q")).agg(
-                F.count(F.lit(1)).alias("cnt"),
-                F.max("dist2").alias("kth")).collect()
-        }
-        todo = []
-        for qid in remaining_ids:
-            cnt, kth = stats.get(qid, (0, float("inf")))
-            if not (full_cover or (cnt >= k and kth < guaranteed_d2)):
-                todo.append(qid)
-        if not todo:
+        if n_remaining is None:
+            n_remaining = remaining.select(query_id).distinct().count()
+        if cur_ring >= n - 1:
+            # full cover: every remaining query is settled by definition
             settled_parts.append(res)
             break
-        if len(todo) < len(remaining_ids):
-            settled_parts.append(res.filter(~F.col(query_id).isin(todo)))
-        carried = res.filter(F.col(query_id).isin(todo)).drop("rank")
-        remaining = remaining.filter(F.col(query_id).isin(todo))
-        remaining_ids = todo
+        guaranteed_d2 = (cur_ring * 180.0 / n) ** 2
+        # unsettled = missing stats (0 candidates) OR fails the radius
+        # guarantee; <= 1 row per remaining query, checkpointed once and
+        # reused by the three joins below
+        stats = res.groupBy(query_id).agg(
+            F.count(F.lit(1)).alias("cnt"), F.max("dist2").alias("kth"))
+        todo_df = (
+            remaining.select(query_id).distinct()
+            .join(stats, query_id, "left")
+            .filter(F.col("cnt").isNull()
+                    | ~((F.col("cnt") >= k)
+                        & (F.col("kth") < F.lit(guaranteed_d2))))
+            .select(query_id)
+        ).localCheckpoint(eager=True)
+        n_todo = todo_df.count()
+        if n_todo == 0:
+            settled_parts.append(res)
+            break
+        if n_todo < n_remaining:
+            settled_parts.append(
+                res.join(F.broadcast(todo_df), query_id, "left_anti"))
+        carried = res.join(F.broadcast(todo_df), query_id, "left_semi") \
+                     .drop("rank")
+        remaining = remaining.join(F.broadcast(todo_df), query_id,
+                                   "left_semi")
+        n_remaining = n_todo
         prev_ring = cur_ring
         cur_ring *= 2
     out = settled_parts[0]

@@ -114,6 +114,209 @@ def chunks_to_df(spark: SparkSession, fixture, chunk=256, halo=8) -> DataFrame:
     return spark.createDataFrame(pd.DataFrame(rows), schema=CHUNK_SCHEMA)
 
 
+PIECE_SCHEMA = StructType([
+    StructField("vkr", IntegerType()),   # virtual chunk lattice index
+    StructField("vkc", IntegerType()),
+    StructField("raster_id", StringType()),
+    StructField("pr0", IntegerType()),   # piece offset in VIRTUAL raster coords
+    StructField("pc0", IntegerType()),
+    StructField("ph", IntegerType()),
+    StructField("pw", IntegerType()),
+    StructField("dtype", StringType()),
+    StructField("no_data", DoubleType()),
+    StructField("data", BinaryType()),
+])
+
+
+def mosaic_chunks(chunks: DataFrame, *, chunk=256, halo=8,
+                  raster_id="mosaic", hole_no_data=None) -> DataFrame:
+    """Distributed pixel-level composite of grid-aligned rasters onto one
+    virtual raster lattice -> a standard single-raster chunk table.
+
+    ``warp_tiles(..., mosaic=True)`` resolves cross-raster precedence on
+    OUT pixels, which is exact for uniform-support methods (near,
+    vectorize) but lets box/bilinear windows straddling a raster seam
+    gather from one raster only (the r5 documented deviation).  This
+    operator composites FIRST, on the shared source grid — the GDAL
+    mosaic rule: valid pixels win over fill, ties go to the highest
+    raster_id (pieces applied in ascending raster_id order) — so the
+    downstream chunks plan sees ONE raster and every resampling method
+    treats source seams exactly like chunk seams (halos are rebuilt on
+    the virtual lattice).  mosaic-of-halves == whole-raster is bit-exact
+    for near, bilinear AND median (test_warp_mosaic_composite_all_methods);
+    reference seam semantics: bilinear edge tree geowarp.js:793-833, box
+    windows geowarp.js:893-950.
+
+    Requirements (asserted from per-raster metadata — #rasters rows, no
+    pixel data on the driver): all rasters share srs, bands, dtype, and
+    the linear part of the geotransform, with origins an integer number
+    of pixels apart.  Holes (virtual-extent pixels no raster covers, and
+    every raster's own nodata pixels) need a representable fill: the
+    rasters' common no_data sentinel if they have one, else NaN for
+    float dtypes, else ``hole_no_data`` (required for integer dtypes
+    without a common sentinel).  Virtual chunks nothing covers emit no
+    row — tiles over pure holes warp from no chunks, same as outside the
+    extent.
+
+    Scale: piece emission is a narrow mapInPandas (each input chunk
+    crops to the few virtual chunks its haloed windows intersect); the
+    composite groupBy is the plan's one payload shuffle, proportional to
+    mosaic area like any regrid, with explicit width (the same AQE
+    small-partial coalescing gotcha as the merge stage).  Precedence
+    needs no global sort — each virtual chunk orders its own pieces.
+    """
+    spark = chunks.sparkSession
+    meta = chunks.select(
+        "raster_id", "srs", "geotransform", "bands", "dtype", "no_data",
+        "raster_height", "raster_width").distinct().collect()
+    if len({m["srs"] for m in meta}) != 1 \
+            or len({m["bands"] for m in meta}) != 1 \
+            or len({m["dtype"] for m in meta}) != 1:
+        raise ValueError(
+            "mosaic_chunks requires uniform srs/bands/dtype across rasters; "
+            f"got srs={sorted({m['srs'] for m in meta})} "
+            f"bands={sorted({m['bands'] for m in meta})} "
+            f"dtypes={sorted({m['dtype'] for m in meta})}")
+    srs = int(meta[0]["srs"])
+    bands = int(meta[0]["bands"])
+    dt = np.dtype(meta[0]["dtype"])
+    gt0 = [float(v) for v in meta[0]["geotransform"]]
+    g0 = Geotransform(gt0)
+    offs = {}
+    for m in meta:
+        gt = [float(v) for v in m["geotransform"]]
+        for i in (1, 2, 4, 5):
+            if abs(gt[i] - gt0[i]) > 1e-9 * max(1.0, abs(gt0[i])):
+                raise ValueError(
+                    "mosaic_chunks requires a shared grid: raster "
+                    f"{m['raster_id']!r} geotransform linear part {gt} "
+                    f"differs from {gt0}")
+        c, r = g0.inverse(gt[0], gt[3])
+        if abs(c - round(c)) > 1e-6 or abs(r - round(r)) > 1e-6:
+            raise ValueError(
+                f"mosaic_chunks: raster {m['raster_id']!r} origin is not an "
+                f"integer pixel offset from the shared grid ({c}, {r})")
+        offs[m["raster_id"]] = (int(round(r)), int(round(c)))
+    r_min = min(v[0] for v in offs.values())
+    c_min = min(v[1] for v in offs.values())
+    doffs = {k: (v[0] - r_min, v[1] - c_min) for k, v in offs.items()}
+    vh = max(doffs[m["raster_id"]][0] + int(m["raster_height"]) for m in meta)
+    vw = max(doffs[m["raster_id"]][1] + int(m["raster_width"]) for m in meta)
+    vx0, vy0 = g0.forward(float(c_min), float(r_min))
+    vgt = [float(vx0), gt0[1], gt0[2], float(vy0), gt0[4], gt0[5]]
+
+    nds = {m["raster_id"]:
+           None if m["no_data"] is None or pd.isna(m["no_data"])
+           else float(m["no_data"]) for m in meta}
+    nd_set = set(nds.values())
+    if len(nd_set) == 1 and None not in nd_set:
+        hole_fill = out_nd = nd_set.pop()          # common sentinel
+    elif np.issubdtype(dt, np.floating):
+        hole_fill, out_nd = np.nan, None           # NaN is the sentinel
+    elif hole_no_data is not None:
+        hole_fill = out_nd = float(hole_no_data)
+    else:
+        raise ValueError(
+            "mosaic_chunks: integer rasters without a common no_data "
+            "sentinel need hole_no_data= to fill uncovered pixels")
+
+    nkr = (vh + chunk - 1) // chunk
+    nkc = (vw + chunk - 1) // chunk
+    doffs_b = spark.sparkContext.broadcast(doffs)
+
+    def gen_pieces(batches):
+        dd = doffs_b.value
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                dr, dc = dd[rec["raster_id"]]
+                arr = np.frombuffer(
+                    rec["data"], dtype=np.dtype(rec["dtype"])).reshape(
+                    int(rec["bands"]), int(rec["height"]), int(rec["width"]))
+                vr0 = int(rec["row_off"]) + dr
+                vc0 = int(rec["col_off"]) + dc
+                vr1, vc1 = vr0 + arr.shape[1], vc0 + arr.shape[2]
+                for kr in range(max(0, (vr0 - halo) // chunk),
+                                min(nkr, (vr1 + halo + chunk - 1) // chunk)):
+                    wr0 = max(0, kr * chunk - halo)
+                    wr1 = min(vh, (kr + 1) * chunk + halo)
+                    ir0, ir1 = max(wr0, vr0), min(wr1, vr1)
+                    if ir0 >= ir1:
+                        continue
+                    for kc in range(max(0, (vc0 - halo) // chunk),
+                                    min(nkc, (vc1 + halo + chunk - 1) // chunk)):
+                        wc0 = max(0, kc * chunk - halo)
+                        wc1 = min(vw, (kc + 1) * chunk + halo)
+                        ic0, ic1 = max(wc0, vc0), min(wc1, vc1)
+                        if ic0 >= ic1:
+                            continue
+                        piece = np.ascontiguousarray(
+                            arr[:, ir0 - vr0:ir1 - vr0, ic0 - vc0:ic1 - vc0])
+                        rows.append({
+                            "vkr": kr, "vkc": kc,
+                            "raster_id": rec["raster_id"],
+                            "pr0": ir0, "pc0": ic0,
+                            "ph": ir1 - ir0, "pw": ic1 - ic0,
+                            "dtype": rec["dtype"],
+                            "no_data": rec["no_data"],
+                            "data": piece.tobytes(),
+                        })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    inv4326 = transformer(srs, 4326)
+    vgtG = Geotransform(vgt)
+
+    def composite(pdf: pd.DataFrame) -> pd.DataFrame:
+        kr, kc = int(pdf["vkr"].iloc[0]), int(pdf["vkc"].iloc[0])
+        wr0 = max(0, kr * chunk - halo)
+        wr1 = min(vh, (kr + 1) * chunk + halo)
+        wc0 = max(0, kc * chunk - halo)
+        wc1 = min(vw, (kc + 1) * chunk + halo)
+        canvas = np.full((bands, wr1 - wr0, wc1 - wc0), np.nan)
+        # ascending raster_id: later pieces (higher id) overwrite where
+        # valid; within one raster overlapping halo pieces are identical
+        # pixels, so tie order is value-neutral (sorted for determinism)
+        pdf = pdf.sort_values(["raster_id", "pr0", "pc0"], kind="mergesort")
+        for p in pdf.itertuples(index=False):
+            block = np.frombuffer(p.data, dtype=np.dtype(p.dtype)).reshape(
+                bands, int(p.ph), int(p.pw)).astype(np.float64)
+            valid = np.isfinite(block)
+            if p.no_data is not None and not pd.isna(p.no_data):
+                valid &= block != float(p.no_data)
+            view = canvas[:, int(p.pr0) - wr0:int(p.pr0) - wr0 + int(p.ph),
+                          int(p.pc0) - wc0:int(p.pc0) - wc0 + int(p.pw)]
+            view[...] = np.where(valid, block, view)
+        data = np.where(np.isnan(canvas), hole_fill, canvas).astype(dt)
+        cs = np.array([wc0, wc1, wc0, wc1], dtype=np.float64)
+        rs = np.array([wr0, wr0, wr1, wr1], dtype=np.float64)
+        xs, ys = vgtG.forward(cs, rs)
+        bb = [float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())]
+        bb4326 = reproject_bbox(bb, inv4326.transform, density=8,
+                                nan_strategy="skip")
+        return pd.DataFrame([{
+            "raster_id": raster_id,
+            "srs": srs,
+            "geotransform": vgt,
+            "row_off": wr0, "col_off": wc0,
+            "height": wr1 - wr0, "width": wc1 - wc0,
+            "bands": bands,
+            "dtype": str(dt),
+            "no_data": out_nd,
+            "bbox_4326": [float(v) for v in bb4326],
+            "raster_height": vh, "raster_width": vw,
+            "data": data.tobytes(),
+        }])
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pieces = chunks.mapInPandas(gen_pieces, schema=PIECE_SCHEMA)
+    # explicit-width exchange: composite partials are small per piece, so
+    # AQE's advisory target would coalesce the shuffle to a few tasks
+    pieces = pieces.repartition(n_parts, "vkr", "vkc")
+    return pieces.groupBy("vkr", "vkc").applyInPandas(
+        composite, schema=CHUNK_SCHEMA)
+
+
 def tiles_df(spark: SparkSession, zooms, bbox_4326=None) -> DataFrame:
     """Tile pyramid table (FIXTURES.md §3), generated DISTRIBUTED: the
     (x, y) grid per zoom comes from spark.range cross products and the

