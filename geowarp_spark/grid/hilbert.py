@@ -180,3 +180,48 @@ def with_hilbert_cell(df, z: int, lon: str = "lon", lat: str = "lat",
     return (cur.withColumn(out, F.lit(z << Z_BITS).cast("bigint")
                            + F.col(f"hd{last}"))
             .drop(f"hx{last}", f"hy{last}", f"hd{last}"))
+
+# ------------------------------------------------------- range pruning
+
+
+def disk_cell_ids(lats, lons, z: int, ring: int):
+    """Hilbert ids of the union of Chebyshev disks(ring) around the given
+    query points (vectorized: #queries x (2r+1)^2 neighbor grid; lon
+    wraps, lat clamps — identical to the SQL disk in operators.spatial).
+    Returns sorted unique ids."""
+    lats = np.atleast_1d(np.asarray(lats, dtype=np.float64))
+    lons = np.atleast_1d(np.asarray(lons, dtype=np.float64))
+    n = 1 << z
+    x0 = np.clip(np.floor((lons + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    y0 = np.clip(np.floor((90.0 - lats) / 180.0 * n), 0, n - 1).astype(np.int64)
+    off = np.arange(-ring, ring + 1, dtype=np.int64)
+    dx, dy = np.meshgrid(off, off)
+    xs = np.mod(x0[:, None] + dx.ravel()[None, :], n)
+    ys = np.clip(y0[:, None] + dy.ravel()[None, :], 0, n - 1)
+    d = xy_to_d(z, xs.ravel(), ys.ravel())
+    return np.unique(pack_hilbert(z, d))
+
+
+def coalesce_ranges(ids, max_ranges: int | None = None):
+    """Sorted unique cell ids -> closed [lo, hi] intervals of consecutive
+    runs (this is WHY the ids are Hilbert: a spatial disk maps to few
+    numeric runs, so the intervals make a small scan predicate that
+    parquet/Iceberg min-max stats can prune row groups with).
+
+    ``max_ranges``: if the run count exceeds it, merge across the
+    SMALLEST gaps first until it fits — the result is a superset of the
+    ids (safe: callers re-filter exactly via the cell equi-join), with
+    predicate size bounded at max_ranges BETWEENs.
+    """
+    ids = np.unique(np.asarray(ids, dtype=np.int64))
+    if ids.size == 0:
+        return []
+    gaps = np.diff(ids)
+    brk = np.nonzero(gaps > 1)[0]            # run boundary after index brk
+    if max_ranges is not None and brk.size + 1 > max_ranges:
+        # keep only the (max_ranges - 1) LARGEST gaps as separators
+        keep = brk[np.argsort(gaps[brk])[-(max_ranges - 1):]]
+        brk = np.sort(keep)
+    starts = np.concatenate([[0], brk + 1])
+    ends = np.concatenate([brk, [ids.size - 1]])
+    return [(int(ids[a]), int(ids[b])) for a, b in zip(starts, ends)]

@@ -17,8 +17,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..grid.hilbert import Z_BITS, hilbert_level_exprs, with_hilbert_cell
+from ..grid.hilbert import (Z_BITS, coalesce_ranges, disk_cell_ids,
+                            hilbert_level_exprs, with_hilbert_cell)
 from ..grid.tiles import cell_sql_expr
+
+
+def cell_range_predicate(ranges, cell_col: str = "hcell"):
+    """OR-of-closed-intervals predicate over a cell id column.  On a
+    parquet/Iceberg-backed table the bounds reach the scan as
+    PushedFilters (GreaterThanOrEqual/LessThanOrEqual), so row groups
+    whose min-max stats miss every interval are skipped without
+    decoding — the property Hilbert ids were built for (a spatial disk
+    is a handful of numeric runs)."""
+    pred = None
+    for lo, hi in ranges:
+        p = (F.col(cell_col) >= int(lo)) & (F.col(cell_col) <= int(hi))
+        pred = p if pred is None else (pred | p)
+    return pred if pred is not None else F.lit(False)
+
+
+def write_hilbert_sorted(df: DataFrame, path: str, z: int, lon="lon",
+                         lat="lat", cell_col: str = "hcell",
+                         num_files: int = 16,
+                         row_group_bytes: int = 1 << 20) -> None:
+    """Materialize a table CELL-SORTED for range pruning: adds the
+    Hilbert cell id at zoom ``z`` (pure JVM codegen), range-partitions by
+    it (files hold disjoint id ranges) and sorts within files (row-group
+    min-max stats become tight intervals).  Small row groups by default
+    so pruning granularity is fine; at scale Iceberg's sort-order spec
+    plays the same role."""
+    (with_hilbert_cell(df, z, lon=lon, lat=lat, out=cell_col)
+     .repartitionByRange(num_files, cell_col)
+     .sortWithinPartitions(cell_col)
+     .write.mode("overwrite")
+     .option("parquet.block.size", int(row_group_bytes))
+     .parquet(path))
 
 
 def pip_join_bbox(points: DataFrame, boxes: DataFrame, lon="lon", lat="lat") -> DataFrame:
@@ -218,7 +251,8 @@ def _knn_cells_pass(points, queries, k, z, ring, lon, lat, qlon, qlat,
 def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
                    ring: int = 1, lon="lon", lat="lat", qlon="qlon", qlat="qlat",
                    point_id="doc_id", query_id="query_id",
-                   scheme: str = "equirect") -> DataFrame:
+                   scheme: str = "equirect", prune_col: str | None = None,
+                   prune_max_ranges: int = 64) -> DataFrame:
     """Scale path for kNN: candidate gather via cell-disk equi-join, then
     exact rank refinement, with INCREMENTAL ring widening so results are
     exact even for queries in sparse regions.  This is the H3 grid_disk
@@ -256,7 +290,22 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     plan linearly), and the driver sees only COUNTS, never id lists.
     Results stay DISTRIBUTED (union of per-pass settled DataFrames);
     nothing unbounded ever lands on the driver.
+
+    ``prune_col`` (hilbert scheme only): name of a STORED Hilbert cell
+    column at the SAME zoom ``z`` (written with
+    ``write_hilbert_sorted``).  Each pass then pre-filters the points
+    SCAN with the remaining queries' disk id intervals
+    (``cell BETWEEN lo AND hi`` x <= prune_max_ranges), which parquet
+    min-max row-group stats turn into skipped row groups on the
+    cell-sorted table — the candidate equi-join still keys EXACT cell
+    ids, so the interval predicate being a superset (after range
+    capping) never changes results.  Costs one O(#queries) coordinate
+    collect per pass (pushdown predicates are literals by nature); use
+    for small query sets against scan-bound point tables.
     """
+    if prune_col is not None and scheme != "hilbert":
+        raise ValueError("prune_col requires scheme='hilbert' (interval "
+                         "pruning relies on Hilbert id locality)")
     n = 1 << z
     remaining = queries
     cur_ring = max(1, int(ring))
@@ -265,7 +314,18 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     n_remaining = None
     settled_parts: list = []
     while True:
-        res = _knn_cells_pass(points, remaining, k, z, cur_ring,
+        pts_in = points
+        if prune_col is not None:
+            coords = remaining.select(qlat, qlon).collect()
+            # guard the driver-side neighbor grid (#q x (2r+1)^2); past
+            # it the disk covers most of the table anyway — skip pruning
+            if len(coords) * (2 * cur_ring + 1) ** 2 <= 4_000_000:
+                ids = disk_cell_ids([c[0] for c in coords],
+                                    [c[1] for c in coords], z, cur_ring)
+                ranges = coalesce_ranges(ids, max_ranges=prune_max_ranges)
+                pts_in = points.filter(
+                    cell_range_predicate(ranges, prune_col))
+        res = _knn_cells_pass(pts_in, remaining, k, z, cur_ring,
                               lon, lat, qlon, qlat, point_id, query_id,
                               exclude_ring=prev_ring, carried=carried,
                               scheme=scheme)

@@ -254,6 +254,66 @@ def test_knn_cells_many_queries_bounded_plan(spark):
     assert sub == brute
 
 
+def test_hilbert_range_pruning_pushdown_and_knn(spark, tmp_path):
+    """Hilbert ids earning their keep (round 6): a cell-sorted parquet
+    table + disk id intervals -> (a) the bounds reach the parquet scan
+    as PushedFilters, (b) the scan MEASURABLY decodes fewer rows
+    (row-group min-max pruning), (c) knn_join_cells(prune_col=...) still
+    equals brute force — the interval predicate is a superset, the cell
+    equi-join stays exact."""
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.grid.hilbert import coalesce_ranges, disk_cell_ids
+    from geowarp_spark.operators.spatial import (
+        cell_range_predicate, knn_join, knn_join_cells,
+        write_hilbert_sorted)
+
+    z = 7
+    # 200k points spread worldwide, deterministic
+    pts = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 7919, F.lit(360_000)) / 1000.0 - 180.0).alias("lon"),
+        (F.pmod(F.col("id") * 104729, F.lit(170_000)) / 1000.0 - 85.0).alias("lat"))
+    path = str(tmp_path / "pts_sorted.parquet")
+    write_hilbert_sorted(pts, path, z, num_files=8, row_group_bytes=1 << 17)
+    stored = spark.read.parquet(path)
+
+    qlats, qlons = [10.0, 40.0, -30.0], [10.0, -70.0, 140.0]
+    ids = disk_cell_ids(qlats, qlons, z, ring=2)
+    ranges = coalesce_ranges(ids, max_ranges=32)
+    flt = stored.filter(cell_range_predicate(ranges, "hcell"))
+
+    def scan_rows(df):
+        ep = df._jdf.queryExecution().executedPlan()
+        ep.execute().count()          # run THIS plan so its metrics fill
+        scan = ep.collectLeaves().apply(0)
+        return (int(scan.metrics().apply("numOutputRows").value()),
+                scan.toString())
+
+    n_full, _ = scan_rows(stored)
+    n_pruned, scan_str = scan_rows(flt)
+    # the metadata string truncates the filter list at ~100 chars, so
+    # assert on the leading bound (both bounds are in the same And())
+    assert "PushedFilters: [Or(" in scan_str \
+        and "GreaterThanOrEqual(hcell" in scan_str, scan_str[:500]
+    assert n_full == 200_000
+    # three ring-2 disks at z=7 cover a tiny fraction of the globe; with
+    # sorted row groups the scan must skip the overwhelming majority
+    # (measured ~12% decoded at 128 KiB row groups — granularity-bound)
+    assert n_pruned < n_full / 5, (n_pruned, n_full)
+
+    # exactness with pruning on: == brute force
+    q = spark.createDataFrame(
+        [(i, lo, la) for i, (lo, la) in enumerate(zip(qlons, qlats))],
+        "query_id long, qlon double, qlat double")
+    brute = {tuple(r) for r in knn_join(pts, q, k=5).collect()}
+    pruned = {tuple(r) for r in
+              knn_join_cells(stored, q, k=5, z=z, ring=2, scheme="hilbert",
+                             prune_col="hcell")
+              .select(*knn_join(pts, q, k=5).columns).collect()}
+    assert pruned == brute and len(brute) == 15
+
+
 def test_salted_counts_equal_plain(spark, sf_dir):
     from geowarp_spark.operators.spatial import salted_cell_counts
     import __spark_entry__ as em
