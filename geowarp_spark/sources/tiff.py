@@ -39,6 +39,7 @@ _TYPES = {
     3: ("H", 2),   # SHORT
     4: ("I", 4),   # LONG
     6: ("b", 1),   # SBYTE
+    7: ("B", 1),   # UNDEFINED (opaque bytes, e.g. JPEGTables)
     8: ("h", 2),   # SSHORT
     9: ("i", 4),   # SLONG
     11: ("f", 4),  # FLOAT
@@ -64,6 +65,8 @@ _T_TILE_OFFSETS = 324
 _T_TILE_BYTE_COUNTS = 325
 _T_EXTRA_SAMPLES = 338
 _T_SAMPLE_FORMAT = 339
+_T_JPEG_TABLES = 347       # TechNote 2 abbreviated tables stream
+_T_YCBCR_SUBSAMPLING = 530
 _T_MODEL_PIXEL_SCALE = 33550
 _T_MODEL_TIEPOINT = 33922
 _T_MODEL_TRANSFORMATION = 34264
@@ -288,12 +291,25 @@ def _packbits_encode_row(row: bytes) -> bytes:
     return bytes(out)
 
 
-def _segment(buf, bo_offs, counts, i, compression):
+def _segment(buf, bo_offs, counts, i, compression, jpeg=None):
     seg = buf[bo_offs[i]:bo_offs[i] + counts[i]]
     if compression in (8, 32946):
         seg = zlib.decompress(seg)
     elif compression == 5:
         seg = _lzw_decode(seg)
+    elif compression == 7:
+        # new-style JPEG (TechNote 2): each strip/tile is a complete
+        # baseline JPEG stream, tables possibly hoisted to JPEGTables
+        from .jpeg import decode_jpeg
+
+        jpeg = jpeg or {}
+        arr = decode_jpeg(seg, tables=jpeg.get("tables"),
+                          to_rgb=jpeg.get("to_rgb", True))
+        return arr.tobytes()
+    elif compression == 6:
+        raise NotImplementedError(
+            "old-style JPEG (TIFF compression 6) is obsolete and "
+            "unsupported; modern writers use compression 7")
     elif compression == 32773:
         seg = _packbits_decode(seg)
     elif compression != 1:
@@ -449,6 +465,19 @@ def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0,
     predictor = int(t.get(_T_PREDICTOR, [1])[0])
     dt = _np_dtype(bits, fmt).newbyteorder(bo)
 
+    jpeg_ctx = None
+    if comp == 7:
+        jt = t.get(_T_JPEG_TABLES) or t0.get(_T_JPEG_TABLES)
+        tables = None
+        if jt is not None:
+            from .jpeg import parse_tables
+
+            tables = parse_tables(bytes(jt))
+        photometric = int(t.get(_T_PHOTOMETRIC, [1])[0])
+        # photometric 6: stream holds YCbCr -> convert back to RGB;
+        # photometric 1/2: components are gray/RGB already
+        jpeg_ctx = {"tables": tables, "to_rgb": photometric == 6}
+
     def finish_seg(seg, rows, width):
         ns = spp if planar == 1 else 1
         if predictor == 3:
@@ -476,7 +505,9 @@ def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0,
             for j in range(wr0 // th, (wr1 - 1) // th + 1):
                 for i in range(wc0 // tw, (wc1 - 1) // tw + 1):
                     k = p * per_plane + j * tx + i
-                    a = finish_seg(_segment(buf, offs, cnts, k, comp), th, tw)
+                    a = finish_seg(
+                        _segment(buf, offs, cnts, k, comp, jpeg=jpeg_ctx),
+                        th, tw)
                     n_decoded += 1
                     r0, c0 = j * th, i * tw
                     a0, a1 = max(r0, wr0), min(r0 + th, wr1, h)
@@ -496,8 +527,9 @@ def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0,
             for s in range(wr0 // rps, (wr1 - 1) // rps + 1):
                 r0 = s * rps
                 rows = min(rps, h - r0)
-                a = finish_seg(_segment(buf, offs, cnts, p * per_plane + s, comp),
-                               rows, w)
+                a = finish_seg(
+                    _segment(buf, offs, cnts, p * per_plane + s, comp,
+                             jpeg=jpeg_ctx), rows, w)
                 n_decoded += 1
                 a0, a1 = max(r0, wr0), min(r0 + rows, wr1)
                 full[p, a0 - wr0:a1 - wr0] = a[a0 - r0:a1 - r0, wc0:wc1]
@@ -566,7 +598,7 @@ def read_tiff(buf: bytes, raster_id: str = "tiff", level: int = 0,
 
 def write_tiff(fx: dict, *, compression="none", layout="strips",
                rows_per_strip=64, tile_size=128, predictor=False,
-               big=False, overviews=None) -> bytes:
+               big=False, overviews=None, jpeg_quality=90) -> bytes:
     """Encode a fixture dict as a little-endian baseline GeoTIFF
     (chunky planar config, strip or tile layout, none/lzw/deflate/
     packbits).  Only used to synthesize round-trip test inputs — the
@@ -579,6 +611,20 @@ def write_tiff(fx: dict, *, compression="none", layout="strips",
     decimation, geo tags only on IFD 0), the overview-pyramid layout
     real GeoTIFFs carry."""
     from ..kernels.affine import Geotransform
+
+    jpeg_tables = None
+    if compression == "jpeg":
+        nb = int(fx["data"].shape[0])
+        if fx["data"].dtype != np.uint8 or nb not in (1, 3):
+            raise NotImplementedError(
+                "TIFF-JPEG writer: 8-bit, 1 or 3 bands only "
+                f"(got dtype={fx['data'].dtype}, bands={nb})")
+        from .jpeg import jpeg_tables_stream
+
+        # hoist DQT/DHT into the JPEGTables tag (TechNote 2 abbreviated
+        # format — what GDAL/libtiff write); per-segment streams carry
+        # only SOF/SOS + entropy data
+        jpeg_tables = jpeg_tables_stream(jpeg_quality, color=nb == 3)
 
     levels = [fx]
     for f in (overviews or []):
@@ -600,17 +646,24 @@ def write_tiff(fx: dict, *, compression="none", layout="strips",
         dt = data.dtype
         fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
         comp_code = {"none": 1, "lzw": 5, "deflate": 8,
-                     "packbits": 32773}[compression]
+                     "packbits": 32773, "jpeg": 7}[compression]
         entries = [
             (_T_IMAGE_WIDTH, 4, [w]),
             (_T_IMAGE_LENGTH, 4, [h]),
             (_T_BITS_PER_SAMPLE, 3, [dt.itemsize * 8] * b),
             (_T_COMPRESSION, 3, [comp_code]),
-            (_T_PHOTOMETRIC, 3, [2 if b >= 3 else 1]),
+            # JPEG 3-band streams store YCbCr (photometric 6); the
+            # reader converts back.  4:4:4, so subsampling tag is (1,1)
+            (_T_PHOTOMETRIC, 3,
+             [6 if (comp_code == 7 and b == 3) else 2 if b >= 3 else 1]),
             (_T_SAMPLES_PER_PIXEL, 3, [b]),
             (_T_PLANAR_CONFIG, 3, [1]),
             (_T_SAMPLE_FORMAT, 3, [fmt] * b),
         ]
+        if comp_code == 7:
+            entries.append((_T_JPEG_TABLES, 7, list(jpeg_tables)))
+            if b == 3:
+                entries.append((_T_YCBCR_SUBSAMPLING, 3, [1, 1]))
         if is_overview:
             entries.append((254, 4, [1]))  # NewSubfileType: reduced-res
         if predictor:
@@ -664,18 +717,26 @@ def write_tiff(fx: dict, *, compression="none", layout="strips",
         b, h, w = data.shape
         dt = data.dtype
         comp_code = {"none": 1, "lzw": 5, "deflate": 8,
-                     "packbits": 32773}[compression]
+                     "packbits": 32773, "jpeg": 7}[compression]
         chunky = np.ascontiguousarray(np.moveaxis(data, 0, 2))  # (H,W,B)
 
-        def enc(seg_arr):
-            if predictor == 3:  # TechNote3 floating-point differencing
-                return _fp_predict_row_bytes(seg_arr, dt)
-            if predictor:  # 2/True: horizontal differencing per sample
-                seg_arr = seg_arr.astype(np.int64)
-                seg_arr = np.concatenate(
-                    [seg_arr[:, :1], np.diff(seg_arr, axis=1)], axis=1
-                ).astype(dt)  # wraps mod 2^bits for integer dtypes
-            return seg_arr.tobytes()
+        if comp_code == 7:
+            from .jpeg import encode_jpeg
+
+            def enc(seg_arr):
+                a = seg_arr[..., 0] if b == 1 else seg_arr
+                return encode_jpeg(a, quality=jpeg_quality,
+                                   omit_tables=True)
+        else:
+            def enc(seg_arr):
+                if predictor == 3:  # TechNote3 float differencing
+                    return _fp_predict_row_bytes(seg_arr, dt)
+                if predictor:  # 2/True: horizontal differencing
+                    seg_arr = seg_arr.astype(np.int64)
+                    seg_arr = np.concatenate(
+                        [seg_arr[:, :1], np.diff(seg_arr, axis=1)], axis=1
+                    ).astype(dt)  # wraps mod 2^bits for integer dtypes
+                return seg_arr.tobytes()
 
         segs = []
         if layout == "strips":

@@ -64,12 +64,16 @@ def test_tiff_big_endian_rejected_magic():
 def test_tiff_unsupported_compression():
     fx = build_fixture("tiny_4326")
     buf = bytearray(write_tiff(fx))
-    # patch Compression tag (259) value to JPEG (7) in place — still
-    # genuinely unsupported (LZW/PackBits are implemented as of round 5)
+    # patch Compression tag (259) to CCITT G3 (3) — genuinely
+    # unsupported (LZW/PackBits landed round 5, JPEG round 6)
     idx = buf.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
     assert idx > 0
-    buf[idx + 8] = 7
+    buf[idx + 8] = 3
     with pytest.raises(NotImplementedError):
+        read_tiff(bytes(buf))
+    # old-style JPEG (6) gets its own clear message
+    buf[idx + 8] = 6
+    with pytest.raises(NotImplementedError, match="old-style"):
         read_tiff(bytes(buf))
 
 
@@ -388,3 +392,137 @@ def test_tiff_windowed_read_composes_with_overviews():
     wo = read_tiff(buf, level=1, window=(10, 100, 20, 120))
     np.testing.assert_array_equal(
         wo["data"], fx["data"][:, ::2, ::2][:, 10:100, 20:120])
+
+
+# ------------------------------------------------------------ JPEG codec
+
+
+def test_jpeg_constant_image_dc_bound():
+    """Constant images are DC-only, so the reconstruction error has a
+    PRINCIPLED bound: |Δpixel| = |DC quant error| / 8 <= q_dc / 16
+    (+1 for the final integer rounding).  At q=90 the Annex K DC step
+    is 3 and 8*(77-128) happens to quantize exactly -> lossless."""
+    from geowarp_spark.sources.jpeg import (decode_jpeg, encode_jpeg,
+                                            quant_tables)
+
+    for q in (10, 50, 90):
+        qdc = int(quant_tables(q)[0][0, 0])
+        bound = qdc / 16.0 + 1
+        g = np.full((40, 56), 77, dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg(g, quality=q))
+        assert d.shape == (40, 56, 1)
+        assert np.abs(d[..., 0].astype(int) - 77).max() <= bound, q
+        c = np.full((24, 24, 3), 200, dtype=np.uint8)
+        c[..., 1] = 31
+        d = decode_jpeg(encode_jpeg(c, quality=q))
+        # color adds the chroma DC step and the YCbCr float round-trip
+        cb = int(quant_tables(q)[1][0, 0]) / 16.0 + 2
+        assert np.abs(d.astype(int) - c.astype(int)).max() <= bound + cb, q
+    g = np.full((40, 56), 77, dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(g, quality=90))
+    assert np.array_equal(d[..., 0], g)
+
+
+def test_jpeg_roundtrip_error_bounded():
+    """Smooth content at q=95 must reconstruct within a few counts
+    (quantization error bound); random noise must still parse and stay
+    within the coarse-quant worst case."""
+    from geowarp_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    x, y = np.meshgrid(np.arange(96), np.arange(64))
+    rgb = np.stack([(x * 2) % 256, (y * 3) % 256, (x + y) % 256],
+                   axis=-1).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(rgb, quality=95))
+    err = np.abs(d.astype(int) - rgb.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0
+    rng = np.random.default_rng(11)
+    n = rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg(n, quality=90))
+    assert d.shape == n.shape
+    assert np.abs(d.astype(int) - n.astype(int)).max() < 64
+
+
+def test_jpeg_subsampling_and_restarts():
+    """4:2:0 output stays close on smooth chroma; DRI/RSTn streams decode
+    identically to the unrestarted stream (predictor resets + byte
+    alignment round-trip)."""
+    from geowarp_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    x, y = np.meshgrid(np.arange(80), np.arange(48))
+    rgb = np.stack([(x * 2) % 256, (y * 3) % 256, (x + y) % 256],
+                   axis=-1).astype(np.uint8)
+    d420 = decode_jpeg(encode_jpeg(rgb, quality=90, subsampling=(2, 2)))
+    assert np.abs(d420.astype(int) - rgb.astype(int)).max() <= 8
+    base = decode_jpeg(encode_jpeg(rgb, quality=90))
+    rst = decode_jpeg(encode_jpeg(rgb, quality=90, restart_interval=2))
+    assert np.array_equal(base, rst)
+
+
+def test_jpeg_abbreviated_tables_stream():
+    """TIFF JPEGTables format: tables-only stream + table-less frame
+    stream decode to the same pixels as the standalone stream."""
+    import pytest
+
+    from geowarp_spark.sources.jpeg import (decode_jpeg, encode_jpeg,
+                                            jpeg_tables_stream,
+                                            parse_tables)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    tabs = parse_tables(jpeg_tables_stream(85, color=True))
+    abbr = encode_jpeg(img, quality=85, omit_tables=True)
+    full = encode_jpeg(img, quality=85)
+    assert len(abbr) < len(full)  # tables really were omitted
+    assert np.array_equal(decode_jpeg(abbr, tables=tabs), decode_jpeg(full))
+    # a table-less stream without tables must fail, not mis-decode
+    with pytest.raises((KeyError, ValueError)):
+        decode_jpeg(abbr)
+
+
+def test_jpeg_progressive_raises():
+    """SOF2 (progressive) must raise NotImplementedError with a clear
+    message, not mis-parse."""
+    import pytest
+
+    from geowarp_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    buf = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(buf))
+
+
+def test_tiff_jpeg_roundtrip_and_windowed():
+    """Compression 7 GeoTIFF (tiled + JPEGTables + photometric 6):
+    read_tiff recovers geometry exactly and pixels at high PSNR;
+    windowed reads decode only intersecting tiles and match the full
+    decode; grayscale strips work; non-uint8 raises."""
+    import pytest
+
+    from geowarp_spark.sources.fixtures import build_fixture
+    from geowarp_spark.sources.tiff import read_tiff, write_tiff
+
+    fx = build_fixture("rgb_smallscale")
+    buf = write_tiff(fx, compression="jpeg", layout="tiles")
+    back = read_tiff(buf)
+    assert back["data"].shape == fx["data"].shape
+    assert back["srs"] == fx["srs"]
+    assert np.allclose(back["geotransform"],
+                       read_tiff(write_tiff(fx))["geotransform"])
+    mse = ((back["data"].astype(np.float64)
+            - fx["data"].astype(np.float64)) ** 2).mean()
+    assert 10 * np.log10(255.0 ** 2 / mse) > 40.0
+    assert write_tiff(fx, compression="jpeg", layout="tiles") == buf
+
+    win = read_tiff(buf, window=(10, 100, 200, 380))
+    assert win["segments_decoded"] < win["segments_total"]
+    assert np.array_equal(win["data"], back["data"][:, 10:100, 200:380])
+
+    g = dict(fx, data=fx["data"][:1].copy(), bands=1)
+    backg = read_tiff(write_tiff(g, compression="jpeg", layout="strips"))
+    assert backg["data"].shape == (1, fx["height"], fx["width"])
+
+    f32 = dict(fx, data=fx["data"].astype(np.float32), dtype="float32")
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        write_tiff(f32, compression="jpeg")

@@ -72,6 +72,14 @@ CONFIGS = {
     "expected_warp_overview": dict(
         raster_id="rgb_smallscale", zooms=[9], method="near", out_size=128,
         decimate=2),
+    # JPEG-ingest oracle (round 6): the serial warp runs on the raster
+    # DECODED from a compression-7 (baseline JPEG, JPEGTables) GeoTIFF —
+    # exactly what tiff_chunks_df feeds the distributed plan.  Codec
+    # correctness is pinned separately (spec-bound unit tests); this pin
+    # makes distributed-ingest == serial-decode+warp a driver-visible row.
+    "expected_warp_jpeg": dict(
+        raster_id="rgb_smallscale", zooms=[9], method="near", out_size=128,
+        jpeg=True),
     # composite-mosaic oracles (round 6): the serial warp of the WHOLE
     # raster under non-uniform-support methods — the distributed path
     # reassembles it from two unaligned half-rasters via mosaic_chunks
@@ -117,9 +125,16 @@ def _tile_bbox_4326_jvm(x, y, z):
 
 
 def serial_expected(raster_id, zooms, method, out_size, out_srs=3857,
-                    bbox=None, extra=None, decimate=None):
+                    bbox=None, extra=None, decimate=None, jpeg=False):
     extra_kw = _extra_kwargs(extra) if extra else {}
     fx = build_fixture(raster_id)
+    if jpeg:
+        # round-trip through the deterministic baseline-JPEG GeoTIFF
+        # writer/reader; the distributed path ingests the same bytes
+        from geowarp_spark.sources.tiff import read_tiff, write_tiff
+
+        fx = read_tiff(write_tiff(fx, compression="jpeg", layout="tiles"),
+                       raster_id=raster_id)
     if decimate:
         # nearest decimation + scaled geotransform — identical to
         # sources.tiff's overview layout (same origin, same bbox,
@@ -197,7 +212,8 @@ def main():
         rows = serial_expected(cfg["raster_id"], cfg["zooms"], cfg["method"],
                                cfg["out_size"], bbox=cfg.get("bbox"),
                                extra=cfg.get("extra"),
-                               decimate=cfg.get("decimate"))
+                               decimate=cfg.get("decimate"),
+                               jpeg=cfg.get("jpeg", False))
         table = pa.table({
             "z": pa.array([r["z"] for r in rows], pa.int64()),
             "x": pa.array([r["x"] for r in rows], pa.int64()),
@@ -214,7 +230,8 @@ def main():
         again = serial_expected(cfg["raster_id"], cfg["zooms"], cfg["method"],
                                 cfg["out_size"], bbox=cfg.get("bbox"),
                                 extra=cfg.get("extra"),
-                                decimate=cfg.get("decimate"))
+                                decimate=cfg.get("decimate"),
+                                jpeg=cfg.get("jpeg", False))
         assert again == rows, f"{name}: serial run not deterministic!"
 
 
