@@ -86,8 +86,30 @@ def run_trial(spark, sf_dir, qs, extra_qs):
     return times, counts
 
 
+def _default_sf_dir() -> str:
+    """sf1 by default (VERDICT r5 next #8): at sf0.1 most headline
+    queries finish in <1 s, so the suite measured session fixed costs,
+    not the engine.  The sf1 tables are synthesized locally from the
+    driver's read-only sf0.1 parquet (tools/make_sf1.py, DuckDB, ~1 min,
+    deterministic) and cached under /tmp; any failure falls back to
+    sf0.1 so the bench always produces a line."""
+    sf1 = "/tmp/geowarp_sf1"
+    try:
+        if not os.path.exists(os.path.join(sf1, "lineitem.parquet")):
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from make_sf1 import main as _mk
+
+            _mk(sf1)
+        return sf1
+    except Exception as e:  # pragma: no cover - defensive fallback
+        print(f"sf1 synthesis failed ({e}); falling back to sf0.1",
+              file=sys.stderr)
+        return "/root/testdata/sf0.1"
+
+
 def main():
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR") or _default_sf_dir()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     from geowarp_spark.session import get_spark

@@ -308,7 +308,7 @@ def mosaic_chunks(chunks: DataFrame, *, chunk=256, halo=8,
             "data": data.tobytes(),
         }])
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = spark.sparkContext.defaultParallelism
     pieces = chunks.mapInPandas(gen_pieces, schema=PIECE_SCHEMA)
     # explicit-width exchange: composite partials are small per piece, so
     # AQE's advisory target would coalesce the shuffle to a few tasks
@@ -602,10 +602,17 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
     )
     pairs = (
         t.join(c, "cell").drop("cell").filter(overlap)
-        .select("raster_id", "row_off", "col_off", "z", "x", "y").distinct()
+        .select("raster_id", "row_off", "col_off", "z", "x", "y")
     )
+    # collect_SET dedupes the pairs that shared several cover cells AND
+    # groups them in the SAME shuffle — the old distinct() + groupBy +
+    # collect_list chain paid two metadata exchanges for one (round-6
+    # fixed-cost profile: each extra tiny-stage shuffle costs ~0.2-0.5 s
+    # of pure scheduling at 32 cores).  Key-set order is nondeterministic
+    # but output-neutral: owned rects are disjoint per tile, and the
+    # mosaic merge sorts explicitly.
     grouped = pairs.groupBy("raster_id", "row_off", "col_off").agg(
-        F.collect_list(F.struct("z", "x", "y")).alias("tile_keys"))
+        F.collect_set(F.struct("z", "x", "y")).alias("tile_keys"))
     # EXPLICIT round-robin repartition of the METADATA side before the
     # join: the tile-key lists are a few KB, so AQE coalesces their
     # aggregate exchange to ~1 partition; a broadcast join then inherits
@@ -620,7 +627,13 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
     # re-exchanges both sides on the join keys as before (the plan's
     # single payload crossing), so the scale path is unchanged.
     spark = chunks.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # width = CORE count, not spark.sql.shuffle.partitions: the partials
+    # and merge stages are python-runner stages whose per-task cost is an
+    # Arrow round-trip + numpy batch, so 3x-cores oversharding (the right
+    # default for skewed JVM aggs, session.py) only multiplies scheduling
+    # and worker round-trips (r3 leg: 96 vs 32 partitions = 122.9 s vs
+    # 33.5 s; r6 fixed-cost profile: ~0.5 s on an empty-ish plan).
+    n_parts = spark.sparkContext.defaultParallelism
     grouped = grouped.repartition(n_parts)
     withtiles = chunks.join(grouped, ["raster_id", "row_off", "col_off"])
 
