@@ -41,8 +41,168 @@ AUDITS = {
 }
 
 
+def _audit_hilbert_pruning(spark):
+    """Round-6 custom audit: the Hilbert range-pruning path is not a
+    driver query (it needs a cell-sorted STORED table), so build the
+    same shape test_hilbert_range_pruning_pushdown_and_knn uses and
+    capture (a) the BETWEEN bounds reaching the scan as PushedFilters
+    and (b) the measured row-group pruning from the executed plan's own
+    scan metrics."""
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.grid.hilbert import coalesce_ranges, disk_cell_ids
+    from geowarp_spark.operators.spatial import (cell_range_predicate,
+                                                 write_hilbert_sorted)
+
+    z = 7
+    pts = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 7919, F.lit(360_000)) / 1000.0 - 180.0).alias("lon"),
+        (F.pmod(F.col("id") * 104729, F.lit(170_000)) / 1000.0 - 85.0).alias("lat"))
+    path = "/tmp/plans_audit_pts_sorted.parquet"
+    write_hilbert_sorted(pts, path, z, num_files=8, row_group_bytes=1 << 17)
+    stored = spark.read.parquet(path)
+    ids = disk_cell_ids([10.0, 40.0, -30.0], [10.0, -70.0, 140.0], z, ring=2)
+    ranges = coalesce_ranges(ids, max_ranges=32)
+    flt = stored.filter(cell_range_predicate(ranges, "hcell"))
+
+    def scan_rows(df):
+        ep = df._jdf.queryExecution().executedPlan()
+        ep.execute().count()
+        scan = ep.collectLeaves().apply(0)
+        return (int(scan.metrics().apply("numOutputRows").value()),
+                scan.toString())
+
+    n_full, _ = scan_rows(stored)
+    n_pruned, scan_str = scan_rows(flt)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        flt.explain("formatted")
+    det = [
+        "## hilbert range-pruned scan (round 6)",
+        "",
+        "**Expectation:** a spatial disk around 3 query points becomes "
+        f"{len(ranges)} Hilbert id intervals; the BETWEEN bounds reach the "
+        "parquet scan as PushedFilters, and row-group min-max stats on the "
+        "cell-sorted table skip most of the file without decoding.",
+        "",
+        f"Measured (executed-plan scan metrics, 128 KiB row groups): "
+        f"**{n_pruned:,} of {n_full:,} rows decoded "
+        f"({100.0 * n_pruned / n_full:.1f}%)** — granularity-bound by the "
+        "row-group size, exactness preserved by the downstream cell "
+        "equi-join (the intervals are a superset).",
+        "",
+        "```",
+        buf.getvalue().strip()[:3000],
+        "```", "",
+    ]
+    return det
+
+
+def _audit_knn_settledness(spark):
+    """Round-6 custom audit: knn_join_cells' unsettled-query set is a
+    DataFrame applied via broadcast semi-/anti-joins — the final plan
+    must contain NO `IN (...)`-list over query ids (the r5 shape grew
+    the plan linearly in #queries)."""
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.operators.spatial import knn_join_cells
+
+    pts = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 7919, F.lit(360_000)) / 1000.0 - 180.0).alias("lon"),
+        (F.pmod(F.col("id") * 104729, F.lit(170_000)) / 1000.0 - 85.0).alias("lat"))
+    q = spark.createDataFrame(
+        [(i, float(i % 37) * 3 - 50.0, float(i % 17) * 4 - 30.0)
+         for i in range(200)],
+        "query_id long, qlon double, qlat double")
+    out = knn_join_cells(pts, q, k=3, z=6, ring=1)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    n_in = plan.count(" IN (") + plan.upper().count("INSET")
+    n_bcast = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+    det = [
+        "## knn_join_cells distributed settledness (round 6)",
+        "",
+        "**Expectation:** the unsettled-query set is re-applied as "
+        "broadcast semi-/anti-joins, so the plan carries NO literal "
+        "IN-list over query ids and its size is O(1) in #queries "
+        "(10k-query bound pinned in test_knn_cells_distributed_settledness).",
+        "",
+        f"Measured on a 200-query run: **{n_in} IN-list predicates over "
+        f"query_id** (must be 0), {n_bcast} BroadcastExchange nodes "
+        "(the semi/anti joins + the contractually small query side).",
+        "",
+        "```",
+        plan.strip()[:3000],
+        "```", "",
+    ]
+    assert n_in == 0, "IN-list leaked back into the kNN plan"
+    return det
+
+
+def _audit_mosaic_composite(spark):
+    """Round-6 custom audit: mosaic_chunks must be ONE payload shuffle
+    (piece emission mapInPandas -> explicit-width repartition ->
+    composite applyInPandas), not a per-raster collect or a global
+    sort."""
+    import numpy as np
+
+    from geowarp_spark.kernels.affine import Geotransform
+    from geowarp_spark.operators.warp_tiles import chunks_to_df, mosaic_chunks
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgb_smallscale")
+    g = fx["geotransform"] or Geotransform.from_bbox(
+        fx["bbox"], fx["width"], fx["height"]).gt
+    split = 165
+
+    def half(rid, c0, c1):
+        d = np.ascontiguousarray(fx["data"][:, :, c0:c1])
+        gt = [g[0] + c0 * g[1], g[1], g[2], g[3] + c0 * g[4], g[4], g[5]]
+        w, h = int(d.shape[2]), int(d.shape[1])
+        cs = np.array([0.0, w, 0.0, w])
+        rs = np.array([0.0, 0.0, h, h])
+        xs = gt[0] + cs * gt[1] + rs * gt[2]
+        ys = gt[3] + cs * gt[4] + rs * gt[5]
+        return dict(fx, raster_id=rid, data=d, width=w, height=h,
+                    geotransform=gt,
+                    bbox=[float(xs.min()), float(ys.min()),
+                          float(xs.max()), float(ys.max())])
+
+    ch = chunks_to_df(spark, half("a_left", 0, split), chunk=128, halo=8) \
+        .unionByName(chunks_to_df(
+            spark, half("b_right", split, fx["width"]), chunk=128, halo=8))
+    comp = mosaic_chunks(ch, chunk=128, halo=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        comp.explain("formatted")
+    plan = buf.getvalue()
+    n_exchange = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    n_sort = len(re.findall(r"\(\d+\) Sort\b", plan))
+    det = [
+        "## mosaic_chunks composite (round 6)",
+        "",
+        "**Expectation:** piece emission is a narrow mapInPandas; the "
+        "composite groupBy is the plan's ONE payload shuffle (explicit "
+        "width — the AQE small-partial coalescing gotcha); precedence is "
+        "resolved per virtual chunk, so no global Sort node.",
+        "",
+        f"Measured: **{n_exchange} Exchange** (the repartition feeding the "
+        f"composite; its groupBy reuses that partitioning), {n_sort} Sort "
+        "nodes.",
+        "",
+        "```",
+        plan.strip()[:3000],
+        "```", "",
+    ]
+    return det
+
+
 def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH/PLANS_r5.md"
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH/PLANS_r6.md"
     import __spark_entry__ as em
     from geowarp_spark.session import get_spark
 
@@ -98,6 +258,11 @@ def main():
     out += summary
     out.append("")
     out += details
+    # round-6 plan shapes that live outside queries() (stored-table
+    # pruning, the kNN loop's join shape, the composite operator)
+    out += _audit_hilbert_pruning(spark)
+    out += _audit_knn_settledness(spark)
+    out += _audit_mosaic_composite(spark)
     with open(out_path, "w") as f:
         f.write("\n".join(out))
     print(f"wrote {out_path} ({len(AUDITS)} plans)")
