@@ -219,8 +219,12 @@ def coalesce_ranges(ids, max_ranges: int | None = None):
     gaps = np.diff(ids)
     brk = np.nonzero(gaps > 1)[0]            # run boundary after index brk
     if max_ranges is not None and brk.size + 1 > max_ranges:
-        # keep only the (max_ranges - 1) LARGEST gaps as separators
-        keep = brk[np.argsort(gaps[brk])[-(max_ranges - 1):]]
+        # keep only the (max_ranges - 1) LARGEST gaps as separators;
+        # max_ranges=1 keeps NONE (slice [-0:] would keep all — r6 ADVICE)
+        if max_ranges > 1:
+            keep = brk[np.argsort(gaps[brk])[-(max_ranges - 1):]]
+        else:
+            keep = np.array([], dtype=brk.dtype)
         brk = np.sort(keep)
     starts = np.concatenate([[0], brk + 1])
     ends = np.concatenate([brk, [ids.size - 1]])

@@ -192,7 +192,10 @@ class _BitReader:
                     f"JPEG entropy segment hit marker FF{nxt:02X} mid-block")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # keep only the unconsumed low ``nbits`` bits before appending —
+        # an unbounded acc makes every shift O(bytes consumed), turning
+        # a restart-free multi-MB strip into O(n^2) (r6 ADVICE)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bit(self) -> int:
@@ -471,9 +474,14 @@ def parse_tables(buf: bytes):
     return qt, ht
 
 
-def _scan_segments(buf: bytes, qt, ht, stop_at_frame=False):
+def _scan_segments(buf: bytes, qt, ht, stop_at_frame=False, state=None):
     """Walk marker segments, filling table dicts; returns (pos, marker)
-    at the first frame/scan marker (or (None, None) at EOI)."""
+    at the first frame/scan marker (or (None, None) at EOI).
+
+    ``state``: optional dict; a DRI segment seen BEFORE SOF (legal in
+    T.81) records its interval as ``state['restart']`` so the decoder
+    picks it up (r6 ADVICE — previously fell through the generic skip
+    and restart markers then crashed the entropy reader)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -516,6 +524,9 @@ def _scan_segments(buf: bytes, qt, ht, stop_at_frame=False):
                 f"JPEG SOF{marker - 0xC0}: only baseline sequential "
                 "(SOF0/SOF1) is supported — progressive/hierarchical/"
                 "arithmetic streams are out of scope")
+        elif marker == 0xDD:     # DRI may legally precede SOF
+            if state is not None:
+                state["restart"] = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:     # SOS before SOF -> corrupt
             return pos, marker
         pos += 2 + seglen
@@ -532,9 +543,12 @@ def decode_jpeg(buf: bytes, tables=None, to_rgb: bool = True) -> np.ndarray:
     or raw component access."""
     qt = dict(tables[0]) if tables else {}
     ht = dict(tables[1]) if tables else {}
-    pos, marker = _scan_segments(buf, qt, ht)
+    pre = {}
+    pos, marker = _scan_segments(buf, qt, ht, state=pre)
     if pos is None:
         raise ValueError("JPEG stream has no frame (tables-only?)")
+    if marker == 0xDA:
+        raise ValueError("corrupt JPEG: SOS before SOF")
     seglen = struct.unpack(">H", buf[pos + 2:pos + 4])[0]
     body = buf[pos + 4:pos + 2 + seglen]
     precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -547,7 +561,7 @@ def decode_jpeg(buf: bytes, tables=None, to_rgb: bool = True) -> np.ndarray:
     pos += 2 + seglen
 
     # walk remaining segments up to SOS (more DQT/DHT/DRI may appear)
-    restart = 0
+    restart = pre.get("restart", 0)
     while True:
         if buf[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")

@@ -147,3 +147,20 @@ def test_cell_rollup_hilbert_equals_equirect_counts(spark):
             zz, x, y = unpack_cell(np.array([r["cell"]]))
             want = int(pack_hilbert(z, xy_to_d(z, x, y))[0])
             assert hiz[want] == r["n"]
+
+
+def test_coalesce_ranges_max_ranges_one():
+    """max_ranges=1 must collapse to ONE covering range (r6 ADVICE: the
+    [-0:] slice used to keep every separator, violating the cap)."""
+    from geowarp_spark.grid.hilbert import coalesce_ranges
+
+    ids = np.array([1, 2, 3, 10, 11, 40, 41, 42, 100], dtype=np.int64)
+    r1 = coalesce_ranges(ids, max_ranges=1)
+    assert r1 == [(1, 100)]
+    for cap in (2, 3, 4):
+        r = coalesce_ranges(ids, max_ranges=cap)
+        assert len(r) <= cap
+        covered = set()
+        for lo, hi in r:
+            covered.update(range(lo, hi + 1))
+        assert set(ids.tolist()) <= covered

@@ -526,3 +526,54 @@ def test_tiff_jpeg_roundtrip_and_windowed():
     f32 = dict(fx, data=fx["data"].astype(np.float32), dtype="float32")
     with pytest.raises(NotImplementedError, match="8-bit"):
         write_tiff(f32, compression="jpeg")
+
+
+def test_jpeg_sos_before_sof_rejected():
+    """A stream whose SOF segment was stripped (SOS arrives first) must
+    raise a clear diagnostic, not parse the SOS payload as a frame
+    header (r6 ADVICE)."""
+    import pytest
+
+    from geowarp_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    buf = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    i = buf.find(b"\xff\xc0")
+    seglen = int.from_bytes(buf[i + 2:i + 4], "big")
+    del buf[i:i + 2 + seglen]
+    with pytest.raises(ValueError, match="SOS before SOF"):
+        decode_jpeg(bytes(buf))
+
+
+def test_jpeg_dri_before_sof_honored():
+    """T.81 allows DRI anywhere after SOI; relocating our encoder's DRI
+    segment ahead of SOF must decode identically (r6 ADVICE: it used to
+    fall through the scan and crash on the first RST marker)."""
+    from geowarp_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    buf = bytearray(encode_jpeg(img, quality=90, restart_interval=2))
+    sos = buf.find(b"\xff\xda")
+    i = buf.find(b"\xff\xdd\x00\x04")
+    assert 0 < i < sos, "encoder should emit DRI in the header"
+    dri = bytes(buf[i:i + 6])
+    del buf[i:i + 6]
+    moved = bytes(buf[:2]) + dri + bytes(buf[2:])
+    assert np.array_equal(decode_jpeg(moved), decode_jpeg(
+        encode_jpeg(img, quality=90, restart_interval=2)))
+
+
+def test_jpeg_bitreader_acc_bounded():
+    """The entropy reader's accumulator must stay bounded (<=16 live
+    bits) as bytes stream through — an unbounded acc makes every shift
+    O(bytes consumed), i.e. O(n^2) per restart-free segment (r6
+    ADVICE)."""
+    from geowarp_spark.sources.jpeg import _BitReader
+
+    data = bytes(range(1, 200)) * 50  # no 0xFF stuffing concerns
+    br = _BitReader(data, 0)
+    for k in range(8 * len(data) // 2):
+        br.bit()
+        if k % 997 == 0:
+            assert br.acc.bit_length() <= 16
+    assert br.acc.bit_length() <= 16
