@@ -966,7 +966,54 @@ def q_warp_tiff_ingest(spark, sf_dir):
     j_out = warp_tiles(j_tiles, j_chunks, method="near", out_size=128,
                        join_strategy="chunks", chunk=128, halo=8)
     jp = _warp_tile_stats(j_out).withColumn("mode", F.lit("jpeg"))
-    return full.unionByName(ov).unionByName(jp)
+    # corpus mode (round 7, VERDICT r6 next #4): the real-world shape —
+    # a DIRECTORY of >= 3 overlapping GeoTIFF files -> binaryFile ->
+    # tiff_chunks_df -> mosaic_chunks composite -> chunk-anchored warp,
+    # ingestion+composite+warp in ONE oracle row.  The three files are
+    # column slices of the same fixture with UNALIGNED overlaps (splits
+    # at 180/150 and 340/320, none a chunk multiple), so the composite
+    # must reassemble the exact original lattice and the warp must hit
+    # the SAME pinned serial expectation as the single-file path.
+    # Reference analog: the harness's multi-fixture tile loop
+    # (test.js:176-196).
+    import numpy as np
+
+    from geowarp_spark.kernels.affine import Geotransform
+    from geowarp_spark.operators.warp_tiles import mosaic_chunks
+
+    g = Geotransform.from_bbox(fx["bbox"], fx["width"], fx["height"]).gt
+
+    def _colslice(rid, c0, c1):
+        dslice = np.ascontiguousarray(fx["data"][:, :, c0:c1])
+        gt = [g[0] + c0 * g[1], g[1], g[2], g[3] + c0 * g[4], g[4], g[5]]
+        w, h = int(dslice.shape[2]), int(dslice.shape[1])
+        cs = np.array([0.0, w, 0.0, w])
+        rs = np.array([0.0, 0.0, h, h])
+        xs = gt[0] + cs * gt[1] + rs * gt[2]
+        ys = gt[3] + cs * gt[4] + rs * gt[5]
+        return dict(fx, raster_id=rid, data=dslice, width=w, height=h,
+                    geotransform=gt,
+                    bbox=[float(xs.min()), float(ys.min()),
+                          float(xs.max()), float(ys.max())])
+
+    cdir = os.path.join(d, f"corpus.{os.getpid()}")
+    os.makedirs(cdir, exist_ok=True)
+    for rid, c0, c1 in (("strip_a", 0, 180), ("strip_b", 150, 340),
+                        ("strip_c", 320, fx["width"])):
+        fpath = os.path.join(cdir, f"{rid}.tif")
+        ftmp = fpath + ".part"
+        with open(ftmp, "wb") as f:
+            f.write(write_tiff(_colslice(rid, c0, c1),
+                               compression="deflate", layout="tiles"))
+        os.replace(ftmp, fpath)
+    atexit.register(lambda p=cdir: os.path.exists(p) and __import__(
+        "shutil").rmtree(p, ignore_errors=True))
+    c_chunks = tiff_chunks_df(spark, cdir, chunk=128, halo=8)
+    c_comp = mosaic_chunks(c_chunks, chunk=128, halo=8)
+    c_out = warp_tiles(tiles, c_comp, method="near", out_size=128,
+                       join_strategy="chunks", chunk=128, halo=8)
+    corpus = _warp_tile_stats(c_out).withColumn("mode", F.lit("corpus"))
+    return full.unionByName(ov).unionByName(jp).unionByName(corpus)
 
 
 def q_warp_cutline(spark, sf_dir):
@@ -1704,6 +1751,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT z, x, y, method, bands, valid_px, payload_crc,
                    'jpeg' AS mode
             FROM read_parquet('{_FIXTURES_DIR}/expected_warp_jpeg.parquet')
+            UNION ALL
+            SELECT z, x, y, method, bands, valid_px, payload_crc,
+                   'corpus' AS mode
+            FROM read_parquet('{_FIXTURES_DIR}/expected_warp_tiles.parquet')
         """,
         "warp_boxstats_chunks": f"""
             SELECT z, x, y, method, bands, valid_px, payload_crc

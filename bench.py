@@ -140,9 +140,19 @@ def main():
         for name, sec in times.items():
             raw.setdefault(name, []).append(sec)
     best = {name: min(walls) for name, walls in raw.items()}
-    # headline total: top-level query keys only (mode walls are already
-    # summed into their parent; extra_qs keys are informational)
-    total = round(sum(best[name] for name in HEADLINE), 3)
+    # headline totals (VERDICT r6 next #3): the FULL sum grows whenever a
+    # union query gains modes (warp_tiles_chunks 2->4 modes in r6) or a
+    # query doubles its workload (cell_rollup's second hierarchy in r5),
+    # which made round-over-round walls unreadable.  The LIKE-FOR-LIKE
+    # sum pins those two to their round-5 shape — warp_tiles_chunks =
+    # single+mosaic modes only, cell_rollup = the XYZ-only hierarchy —
+    # so the top-level value compares across rounds.
+    total_full = round(sum(best[name] for name in HEADLINE), 3)
+    total_l4l = round(
+        total_full
+        - best["warp_tiles_chunks"] - best["cell_rollup"]
+        + best["warp_tiles_chunks/single"] + best["warp_tiles_chunks/mosaic"]
+        + best["cell_rollup/xyz"], 3)
 
     # joined-rows/sec + tiles/sec for the north-rule metric
     lineitem_n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -151,8 +161,10 @@ def main():
     join_sec = best["pip_grid"] + best["knn_cells"] + best["cell_rollup"] + best["salted_cells"]
     warp_sec = best["warp_tiles"] + best["warp_boxstats_chunks"]
     out = {
-        "metric": "headline suite wall time (min of interleaved trials)",
-        "value": total,
+        "metric": ("headline suite wall time, like-for-like r5 shape "
+                   "(min of interleaved trials)"),
+        "value": total_l4l,
+        "value_full": total_full,
         "unit": "sec",
         "queries": best,
         "raw": raw,

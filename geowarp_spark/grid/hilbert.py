@@ -202,6 +202,44 @@ def disk_cell_ids(lats, lons, z: int, ring: int):
     return np.unique(pack_hilbert(z, d))
 
 
+def bbox_cover_cell_ids(bboxes, z: int):
+    """Hilbert ids of every z-cell intersecting any of the lon/lat
+    rectangles ``(xmin, ymin, xmax, ymax)`` — the tile-cover analog of
+    ``disk_cell_ids`` for PIP/rasterize-shaped scans (round 7, VERDICT
+    r6 next #5).  Driver-side by nature (the ids become a literal scan
+    predicate); callers guard the cell count before enumerating.
+    Boundary cells are included, so the id set is a SUPERSET of the
+    cells any half-open bbox predicate can match."""
+    n = 1 << z
+    parts = []
+    for xmin, ymin, xmax, ymax in bboxes:
+        x0 = int(np.clip(np.floor((xmin + 180.0) / 360.0 * n), 0, n - 1))
+        x1 = int(np.clip(np.floor((xmax + 180.0) / 360.0 * n), 0, n - 1))
+        y0 = int(np.clip(np.floor((90.0 - ymax) / 180.0 * n), 0, n - 1))
+        y1 = int(np.clip(np.floor((90.0 - ymin) / 180.0 * n), 0, n - 1))
+        xs, ys = np.meshgrid(np.arange(x0, x1 + 1, dtype=np.int64),
+                             np.arange(y0, y1 + 1, dtype=np.int64))
+        d = xy_to_d(z, xs.ravel(), ys.ravel())
+        parts.append(pack_hilbert(z, d))
+    if not parts:
+        return np.array([], dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def bbox_cover_cell_count(bboxes, z: int) -> int:
+    """Cheap upper bound on ``bbox_cover_cell_ids`` output size (no
+    enumeration) — the guard callers check before materializing ids."""
+    n = 1 << z
+    total = 0
+    for xmin, ymin, xmax, ymax in bboxes:
+        x0 = int(np.clip(np.floor((xmin + 180.0) / 360.0 * n), 0, n - 1))
+        x1 = int(np.clip(np.floor((xmax + 180.0) / 360.0 * n), 0, n - 1))
+        y0 = int(np.clip(np.floor((90.0 - ymax) / 180.0 * n), 0, n - 1))
+        y1 = int(np.clip(np.floor((90.0 - ymin) / 180.0 * n), 0, n - 1))
+        total += (x1 - x0 + 1) * (y1 - y0 + 1)
+    return total
+
+
 def coalesce_ranges(ids, max_ranges: int | None = None):
     """Sorted unique cell ids -> closed [lo, hi] intervals of consecutive
     runs (this is WHY the ids are Hilbert: a spatial disk maps to few

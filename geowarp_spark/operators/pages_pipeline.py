@@ -34,14 +34,43 @@ RASTER_TILE_SCHEMA = (
 
 
 def pixel_counts(points: DataFrame, z: int, px_bits: int = 6,
-                 lon="lon", lat="lat") -> DataFrame:
+                 lon="lon", lat="lat", bbox=None,
+                 prune_col: str | None = None, prune_z: int | None = None,
+                 prune_max_ranges: int = 64) -> DataFrame:
     """Per-(tile, pixel) page counts, all JVM-side.
 
     The pixel grid inside a z-tile is the (z + px_bits) cell grid, so
     pixel coords are pure integer math on the finer cell id:
     px = fine_x - (tile_x << px_bits), py likewise.  One shuffle
     (groupBy) with map-side partial aggregation.
+
+    ``bbox``: optional region of interest ``(xmin, ymin, xmax, ymax)``
+    in lon/lat — rasterize only pages inside it (half-open, same
+    predicate as pip_join_bbox).  With ``prune_col``/``prune_z`` on a
+    cell-sorted pages table (write_hilbert_sorted), the bbox's Hilbert
+    tile-cover ranges additionally reach the parquet scan as
+    PushedFilters, so row groups outside the region are skipped without
+    decoding (round 7, VERDICT r6 next #5) — the exact bbox filter
+    still runs, so the superset cover never changes results.
     """
+    if bbox is not None:
+        xmin, ymin, xmax, ymax = bbox
+        if prune_col is not None:
+            from .spatial import cell_range_predicate
+            from ..grid.hilbert import (bbox_cover_cell_count,
+                                        bbox_cover_cell_ids,
+                                        coalesce_ranges)
+
+            if prune_z is None:
+                raise ValueError("prune_col requires prune_z")
+            if bbox_cover_cell_count([bbox], prune_z) <= 4_000_000:
+                ids = bbox_cover_cell_ids([bbox], prune_z)
+                ranges = coalesce_ranges(ids, max_ranges=prune_max_ranges)
+                points = points.filter(
+                    cell_range_predicate(ranges, prune_col))
+        points = points.filter(
+            (F.col(lon) >= xmin) & (F.col(lon) < xmax)
+            & (F.col(lat) >= ymin) & (F.col(lat) < ymax))
     fine = cell_sql_expr(lon, lat, z + px_bits)
     coarse = cell_sql_expr(lon, lat, z)
     d = points.withColumn("fine", F.expr(fine)).withColumn("cell", F.expr(coarse))

@@ -17,8 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..grid.hilbert import (Z_BITS, coalesce_ranges, disk_cell_ids,
-                            hilbert_level_exprs, with_hilbert_cell)
+from ..grid.hilbert import (Z_BITS, bbox_cover_cell_count,
+                            bbox_cover_cell_ids, coalesce_ranges,
+                            disk_cell_ids, hilbert_level_exprs,
+                            with_hilbert_cell)
 from ..grid.tiles import cell_sql_expr
 
 
@@ -54,13 +56,37 @@ def write_hilbert_sorted(df: DataFrame, path: str, z: int, lon="lon",
      .parquet(path))
 
 
-def pip_join_bbox(points: DataFrame, boxes: DataFrame, lon="lon", lat="lat") -> DataFrame:
+def pip_join_bbox(points: DataFrame, boxes: DataFrame, lon="lon", lat="lat",
+                  prune_col: str | None = None, prune_z: int | None = None,
+                  prune_max_ranges: int = 64) -> DataFrame:
     """Point-in-rectangle join (tile polygons are axis-aligned bboxes —
     the J4 tile-assignment join).  ``boxes`` needs columns
     (tile_id, xmin, ymin, xmax, ymax); broadcast (the tile-polygon index
     is small relative to pages — north rule 'broadcast of the
-    tile-polygon index')."""
+    tile-polygon index').
+
+    ``prune_col``/``prune_z`` (round 7, VERDICT r6 next #5): when the
+    points table is CELL-SORTED on a stored Hilbert column at zoom
+    ``prune_z`` (write_hilbert_sorted), the boxes' tile-cover id ranges
+    become a scan predicate — parquet min-max stats skip row groups
+    outside every box before the exact join condition runs.  The cover
+    is a superset (boundary cells included), so results are identical;
+    the box collect is driver-side by nature (boxes are the SMALL
+    broadcast side already).  Pruning is skipped when the cover exceeds
+    the driver guard (the boxes span most of the grid — nothing to
+    prune)."""
     p = points
+    if prune_col is not None:
+        if prune_z is None:
+            raise ValueError("prune_col requires prune_z (the zoom the "
+                             "stored Hilbert column was written at)")
+        bbs = [(r["xmin"], r["ymin"], r["xmax"], r["ymax"])
+               for r in boxes.select("xmin", "ymin", "xmax", "ymax")
+               .collect()]
+        if bbox_cover_cell_count(bbs, prune_z) <= 4_000_000:
+            ids = bbox_cover_cell_ids(bbs, prune_z)
+            ranges = coalesce_ranges(ids, max_ranges=prune_max_ranges)
+            p = p.filter(cell_range_predicate(ranges, prune_col))
     cond = (
         (F.col(lon) >= F.col("xmin")) & (F.col(lon) < F.col("xmax"))
         & (F.col(lat) >= F.col("ymin")) & (F.col(lat) < F.col("ymax"))
@@ -300,8 +326,10 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     cell-sorted table — the candidate equi-join still keys EXACT cell
     ids, so the interval predicate being a superset (after range
     capping) never changes results.  Costs one O(#queries) coordinate
-    collect per pass (pushdown predicates are literals by nature); use
-    for small query sets against scan-bound point tables.
+    collect per CHANGE of the unsettled set (pushdown predicates are
+    literals by nature; a pass that settles nothing reuses the cached
+    coords and skips the identity semi-joins); use for small query sets
+    against scan-bound point tables.
     """
     if prune_col is not None and scheme != "hilbert":
         raise ValueError("prune_col requires scheme='hilbert' (interval "
@@ -313,10 +341,12 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     carried = None
     n_remaining = None
     settled_parts: list = []
+    coords = None      # cached across passes while the todo set is unchanged
     while True:
         pts_in = points
         if prune_col is not None:
-            coords = remaining.select(qlat, qlon).collect()
+            if coords is None:
+                coords = remaining.select(qlat, qlon).collect()
             # guard the driver-side neighbor grid (#q x (2r+1)^2); past
             # it the disk covers most of the table anyway — skip pruning
             if len(coords) * (2 * cur_ring + 1) ** 2 <= 4_000_000:
@@ -358,10 +388,17 @@ def knn_join_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
         if n_todo < n_remaining:
             settled_parts.append(
                 res.join(F.broadcast(todo_df), query_id, "left_anti"))
-        carried = res.join(F.broadcast(todo_df), query_id, "left_semi") \
-                     .drop("rank")
-        remaining = remaining.join(F.broadcast(todo_df), query_id,
-                                   "left_semi")
+            carried = res.join(F.broadcast(todo_df), query_id,
+                               "left_semi").drop("rank")
+            remaining = remaining.join(F.broadcast(todo_df), query_id,
+                                       "left_semi")
+            coords = None     # todo set shrank -> re-collect next pass
+        else:
+            # NOTHING settled: the todo set is exactly the remaining set,
+            # so the semi-joins are identities AND the prune-coordinate
+            # collect can reuse the cached pass's coords (VERDICT r6 next
+            # #7 — one driver round-trip per pass was contractual before)
+            carried = res.drop("rank")
         n_remaining = n_todo
         prev_ring = cur_ring
         cur_ring *= 2

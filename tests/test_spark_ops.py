@@ -1370,3 +1370,115 @@ def test_warp_mosaic_mixed_dtype_raises(spark):
                      mosaic=True)
     with pytest.raises(Exception, match="uniform bands/dtype"):
         out.collect()
+
+
+def test_knn_prune_coords_collected_once_per_todo_change(spark, tmp_path,
+                                                         monkeypatch):
+    """The prune-coordinate collect must run once per CHANGE of the
+    unsettled set, not once per widening pass (VERDICT r6 next #7): a
+    single query that widens through several rings keeps the same todo
+    set, so exactly ONE driver round-trip for coordinates happens."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.operators.spatial import (knn_join, knn_join_cells,
+                                                 write_hilbert_sorted)
+
+    pts = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, 10.1, 10.1), (2, 50.0, 10.0)],
+        "doc_id long, lon double, lat double")
+    path = str(tmp_path / "pts_hsorted.parquet")
+    write_hilbert_sorted(pts, path, z=6, num_files=2)
+    stored = spark.read.parquet(path)
+    q = spark.createDataFrame(
+        [(0, 10.0, 10.0)], "query_id long, qlon double, qlat double")
+
+    cls = type(q)          # the concrete (classic/connect) DataFrame class
+    calls = []
+    orig = cls.collect
+
+    def spy(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", spy)
+    out = knn_join_cells(stored, q, k=3, z=6, ring=1, scheme="hilbert",
+                         prune_col="hcell")
+    n_collects_during_build = len(calls)
+    monkeypatch.setattr(cls, "collect", orig)
+    # multi-pass is forced (far third point cannot settle at ring=1) but
+    # the todo set never changes until the loop exits
+    assert n_collects_during_build == 1, n_collects_during_build
+    brute = {tuple(r) for r in knn_join(pts, q, k=3).collect()}
+    got = {tuple(r) for r in
+           out.select("query_id", "doc_id", "dist2", "rank").collect()} \
+        if "rank" in out.columns else {tuple(r) for r in out.collect()}
+    assert {t[:2] for t in got} == {t[:2] for t in brute}
+
+
+def test_bbox_cover_pruning_pip_and_rasterize(spark, tmp_path):
+    """Hilbert range pruning on the PAGES pipeline (VERDICT r6 next #5):
+    tile-cover id ranges from the (small, already-broadcast) box side
+    reach the cell-sorted pages scan as PushedFilters, row groups
+    outside every box are skipped, and both pip_join_bbox and the
+    rasterize-shaped pixel_counts return EXACTLY the unpruned rows."""
+    from pyspark.sql import functions as F
+
+    from geowarp_spark.operators.pages_pipeline import pixel_counts
+    from geowarp_spark.operators.spatial import (pip_join_bbox,
+                                                 write_hilbert_sorted)
+
+    z = 7
+    pts = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 7919, F.lit(360_000)) / 1000.0 - 180.0)
+        .alias("lon"),
+        (F.pmod(F.col("id") * 104729, F.lit(170_000)) / 1000.0 - 85.0)
+        .alias("lat"))
+    path = str(tmp_path / "pages_sorted.parquet")
+    write_hilbert_sorted(pts, path, z, num_files=8, row_group_bytes=1 << 17)
+    stored = spark.read.parquet(path)
+
+    boxes = spark.createDataFrame(
+        [(0, 8.0, 8.0, 12.0, 12.0), (1, -75.0, 38.0, -70.0, 42.0),
+         (2, 138.0, -34.0, 142.0, -30.0)],
+        "tile_id long, xmin double, ymin double, xmax double, ymax double")
+
+    def scan_rows(df):
+        ep = df._jdf.queryExecution().executedPlan()
+        ep.execute().count()
+        scan = ep.collectLeaves().apply(0)
+        return int(scan.metrics().apply("numOutputRows").value())
+
+    plain = pip_join_bbox(stored, boxes)
+    pruned = pip_join_bbox(stored, boxes, prune_col="hcell", prune_z=z)
+    want = {tuple(r) for r in plain.collect()}
+    got = {tuple(r) for r in pruned.collect()}
+    assert got == want and len(want) > 0
+    # the interval predicate reaches the parquet scan of the JOIN plan
+    join_plan = _plan(pruned)
+    assert "PushedFilters: [Or(" in join_plan \
+        and "GreaterThanOrEqual(hcell" in join_plan, join_plan[:800]
+
+    # decoded-row reduction, measured on the scan+filter subplan (the
+    # exact shape the join executes below the broadcast): row-group
+    # min-max stats skip most of the cell-sorted table
+    from geowarp_spark.grid.hilbert import (bbox_cover_cell_ids,
+                                            coalesce_ranges)
+    from geowarp_spark.operators.spatial import cell_range_predicate
+
+    bbs = [(8.0, 8.0, 12.0, 12.0), (-75.0, 38.0, -70.0, 42.0),
+           (138.0, -34.0, 142.0, -30.0)]
+    ranges = coalesce_ranges(bbox_cover_cell_ids(bbs, z), max_ranges=64)
+    n_pruned = scan_rows(stored.filter(cell_range_predicate(ranges, "hcell")))
+    assert n_pruned < 200_000 / 4, n_pruned
+
+    bbox = (8.0, 8.0, 12.0, 12.0)
+    plain_px = pixel_counts(stored, z=6, bbox=bbox)
+    pruned_px = pixel_counts(stored, z=6, bbox=bbox,
+                             prune_col="hcell", prune_z=z)
+    want_px = {tuple(r) for r in plain_px.collect()}
+    got_px = {tuple(r) for r in pruned_px.collect()}
+    assert got_px == want_px and len(want_px) > 0
+    ras_plan = _plan(pruned_px)
+    assert "GreaterThanOrEqual(hcell" in ras_plan, ras_plan[:800]
