@@ -154,24 +154,42 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k=10, n_planes=8,
 
 def ivf_topk(emb: DataFrame, queries: DataFrame, k=10, n_centroids=16, n_probe=4,
              id_col="vec_id", vec_col="embedding",
-             qid_col="query_id", qvec_col="qvec") -> DataFrame:
-    """IVF-style ANN with deterministic 'centroids': vectors are assigned
-    to the centroid (hash-derived pseudo-centroid grid) with max dot —
-    here centroids are deterministic integer plane combinations, so the
-    partition assignment is stable without a training pass.  Queries probe
-    the n_probe nearest centroids.  Implemented as: coarse bucket =
-    top-centroid id (JVM expr), candidates = bucket match."""
-    # reuse LSH machinery: centroid id = bucket of ceil(log2 n_centroids) planes
-    import math
+             qid_col="query_id", qvec_col="qvec",
+             centroids=None) -> DataFrame:
+    """IVF-style ANN.  Two coarse quantizers:
 
-    planes = max(1, int(math.ceil(math.log2(n_centroids))))
-    e = emb.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
-    q = queries.withColumn("qbucket", lsh_bucket_expr(qvec_col, planes))
-    # probe the query bucket plus lowest-bit flips up to n_probe buckets
-    probes = [F.col("qbucket")] + [
-        F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(min(planes, max(0, n_probe - 1)))
-    ]
-    q = q.withColumn("bucket", F.explode(F.array(*probes)))
+    - ``centroids=None`` (oracle-replayable fallback): deterministic
+      integer plane combinations — stable without a training pass and
+      replayed exactly by DuckDB (the driver's `ivf` row).
+    - ``centroids=`` a (n, dim) array from ``train_centroids`` (round 7,
+      VERDICT r6 next #6): REAL spherical-k-means cells.  Assignment and
+      query probing are argmax/top-n_probe dot against the centroid
+      literals — pure JVM codegen, centroids travel inside the plan
+      (a few KB), so the inverted lists follow the data's actual
+      cluster structure instead of hash half-spaces (recall@10 >= the
+      LSH path on the embeddings fixture, pinned by test).
+
+    Queries probe the n_probe nearest coarse cells; candidates = cell
+    match (bucket equi-join, broadcast query side), exact cosine re-rank."""
+    if centroids is not None:
+        e = emb.withColumn("bucket", centroid_assign_expr(vec_col, centroids))
+        q = queries.withColumn(
+            "bucket",
+            F.explode(centroid_probe_expr(qvec_col, centroids, n_probe)))
+    else:
+        # reuse LSH machinery: centroid id = bucket of
+        # ceil(log2 n_centroids) planes
+        import math
+
+        planes = max(1, int(math.ceil(math.log2(n_centroids))))
+        e = emb.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
+        q = queries.withColumn("qbucket", lsh_bucket_expr(qvec_col, planes))
+        # probe the query bucket plus lowest-bit flips up to n_probe buckets
+        probes = [F.col("qbucket")] + [
+            F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(min(planes, max(0, n_probe - 1)))
+        ]
+        q = q.withColumn("bucket", F.explode(F.array(*probes)))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         e.join(F.broadcast(q), "bucket")
@@ -181,3 +199,104 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k=10, n_centroids=16, n_probe=4
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# -------------------------------------------------- IVF coarse quantizer
+
+
+def sample_vectors(emb: DataFrame, cap: int = 4096, id_col="vec_id",
+                   vec_col="embedding"):
+    """Deterministic training sample for the coarse quantizer: the
+    ``cap`` rows with the smallest fixed integer hash of the id —
+    independent of partitioning, core count, and engine (the same
+    discipline as the LSH planes: no RNG ships with the data).  Runs as
+    a distributed top-k (TakeOrderedAndProject), so the driver receives
+    only ``cap`` vectors regardless of table size."""
+    import numpy as np
+
+    h = F.pmod(F.col("_id").cast("bigint") * F.lit(2654435761),
+               F.lit((1 << 31) - 1))
+    rows = (emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .withColumn("_h", h).orderBy("_h", "_id").limit(int(cap))
+            .select("_v").collect())
+    return np.asarray([list(r["_v"]) for r in rows], dtype=np.float64)
+
+
+def train_centroids(vecs, n_centroids: int = 16, iters: int = 10,
+                    seed: int = 42):
+    """Spherical k-means on the (driver-side, capped) sample —
+    deterministic: fixed seed k-means++ init, a FIXED iteration count
+    (no convergence-dependent control flow), ties broken by index.
+    Returns row-normalized centroids (n_centroids, dim); assignment by
+    max dot product == max cosine, so callers never need to normalize
+    the data side (VERDICT r6 next #6: a real trained coarse quantizer
+    instead of hash-plane buckets)."""
+    import numpy as np
+
+    X = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    n = X.shape[0]
+    if n == 0:
+        raise ValueError("train_centroids: no nonzero vectors in sample")
+    k = min(int(n_centroids), n)
+    rng = np.random.default_rng(seed)
+    # k-means++ (cosine distance = 1 - dot on the unit sphere)
+    idx = [int(rng.integers(n))]
+    d2 = 1.0 - X @ X[idx[0]]
+    np.maximum(d2, 0.0, out=d2)
+    for _ in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        nxt = int(rng.choice(n, p=p))
+        idx.append(nxt)
+        d2 = np.minimum(d2, np.maximum(1.0 - X @ X[nxt], 0.0))
+    C = X[idx].copy()
+    for _ in range(int(iters)):
+        sims = X @ C.T                       # (n, k)
+        assign = np.argmax(sims, axis=1)     # first max wins: index ties
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                v = X[m].sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[j] = v / nv
+            else:
+                # deterministic empty-cluster reseed: the point farthest
+                # from its assigned centroid
+                far = int(np.argmin(sims[np.arange(n), assign]))
+                C[j] = X[far]
+    return C
+
+
+def _centroid_dot_exprs(vec_col: str, centroids) -> list[str]:
+    outs = []
+    for c in centroids:
+        lit = "array(" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in c) + ")"
+        outs.append(
+            f"aggregate(zip_with({vec_col}, {lit}, "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    return outs
+
+
+def centroid_assign_expr(vec_col: str, centroids):
+    """Coarse-cell id = argmax dot(vec, centroid) — a pure JVM codegen
+    expression over broadcast-by-literal centroids (the quantizer is a
+    few KB; shipping it inside the plan avoids any side channel)."""
+    dots = _centroid_dot_exprs(vec_col, centroids)
+    structs = ", ".join(f"named_struct('d', {d}, 'c', {j})"
+                        for j, d in enumerate(dots))
+    return F.expr(f"greatest({structs}).c").cast("bigint")
+
+
+def centroid_probe_expr(vec_col: str, centroids, n_probe: int):
+    """Array of the ``n_probe`` nearest coarse-cell ids for a query
+    vector (descending dot, index ties ascending)."""
+    dots = _centroid_dot_exprs(vec_col, centroids)
+    structs = ", ".join(f"named_struct('d', -({d}), 'c', {j})"
+                        for j, d in enumerate(dots))
+    # ascending sort on (-dot, c): nearest first, index ties ascending
+    return F.expr(
+        f"transform(slice(array_sort(array({structs})), 1, {int(n_probe)}), "
+        f"s -> CAST(s.c AS BIGINT))")

@@ -1482,3 +1482,41 @@ def test_bbox_cover_pruning_pip_and_rasterize(spark, tmp_path):
     assert got_px == want_px and len(want_px) > 0
     ras_plan = _plan(pruned_px)
     assert "GreaterThanOrEqual(hcell" in ras_plan, ras_plan[:800]
+
+
+def test_ivf_kmeans_quantizer_recall_and_determinism(spark):
+    """The trained IVF coarse quantizer (VERDICT r6 next #6): on the
+    embeddings fixture, kmeans-cell IVF recall@10 must be >= the LSH
+    path at comparable probe budgets, training must be bit-deterministic
+    (fixed seed + fixed iterations + capped hash-ordered sample), and
+    the assignment expression must be pure JVM (no python UDF in the
+    plan)."""
+    import numpy as np
+
+    from geowarp_spark.operators.similarity import (
+        brute_force_topk, ivf_topk, lsh_topk, sample_vectors,
+        train_centroids)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    brute = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(emb, q, k=10).collect()}
+
+    sample = sample_vectors(emb, cap=256)
+    C1 = train_centroids(sample, n_centroids=16, iters=10, seed=42)
+    C2 = train_centroids(sample_vectors(emb, cap=256),
+                         n_centroids=16, iters=10, seed=42)
+    assert np.array_equal(C1, C2), "training is not deterministic"
+
+    ivf = ivf_topk(emb, q, k=10, n_probe=4, centroids=C1)
+    plan = _plan(ivf)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got_ivf = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    got_lsh = {(r["query_id"], r["vec_id"])
+               for r in lsh_topk(emb, q, k=10, n_planes=4,
+                                 guarantee_k=False).collect()}
+    r_ivf = len(brute & got_ivf) / len(brute)
+    r_lsh = len(brute & got_lsh) / len(brute)
+    assert r_ivf >= r_lsh, (r_ivf, r_lsh)
+    assert r_ivf >= 0.6, r_ivf
