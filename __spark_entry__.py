@@ -122,9 +122,29 @@ _MODE_SQL = """
 """
 
 
+# Spark-side variant of _MODE_SQL (r8): the self-join of the counts CTE
+# against its per-flag max becomes a window max — same rows (ties with
+# the max survive the n = mx filter), one fewer exchange and no join;
+# the final GROUP BY rf reuses the window's rf partitioning.  The
+# ORACLE keeps _MODE_SQL verbatim (oracle text is fingerprinted).
+_MODE_SPARK_SQL = """
+    WITH c AS (SELECT l_returnflag AS rf, l_quantity AS v, count(*) AS n
+               FROM lineitem GROUP BY l_returnflag, l_quantity),
+         t AS (SELECT rf, v, n, max(n) OVER (PARTITION BY rf) AS mx FROM c)
+    SELECT rf AS l_returnflag,
+           min(v) AS mode_val,
+           max(v) AS mode_max,
+           round(sum(v) / count(*), 6) AS mode_mean,
+           median(v) AS mode_median,
+           min(mx) AS mode_count
+    FROM t WHERE n = mx
+    GROUP BY rf
+"""
+
+
 def q_mode_family(spark, sf_dir):  # A5/A6: mode ties -> smallest + tie-set aggs
     _views(spark, sf_dir)
-    return spark.sql(_MODE_SQL)
+    return spark.sql(_MODE_SPARK_SQL)
 
 
 def q_topk_most_common(spark, sf_dir):  # O4: top-k most common value
@@ -639,7 +659,10 @@ def q_lang_id(spark, sf_dir):  # text: stopword language-ID accuracy matrix
 
     _views(spark, sf_dir)
     docs = spark.table("documents")
-    pred = lang_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    # the labeled lang rides the projection (keep_cols) — the former
+    # self-join of documents on doc_id cost a second scan + a broadcast
+    # join for a column the scan already had (r8: 2 scans+join -> 1 scan)
+    pred = lang_id(docs, keep_cols=("lang",))
     return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -732,12 +755,16 @@ def q_corpus_filter(spark, sf_dir):
     _views(spark, sf_dir)
     docs = spark.table("documents")
     keepers = exact_dedup(docs).select(F.col("keeper_id").alias("doc_id"))
-    q = quality_score(docs).select("doc_id", "quality")
-    lid = lang_id(docs).select("doc_id", "pred_lang")
+    # r8: chain the two feature operators over ONE scan (keep_cols
+    # carries text/lang/n_chars through) — the old shape scanned
+    # documents three times and joined the per-operator outputs back on
+    # doc_id twice; all joins on doc_id are 1:1, so rows are identical
+    feat = quality_score(
+        lang_id(docs, keep_cols=("lang", "n_chars", "text")),
+        keep_cols=("pred_lang", "n_chars"))
     kept = (
-        docs.join(keepers, "doc_id")          # dedup: keepers only
-        .join(q, "doc_id").filter(F.col("quality") >= 0.4)
-        .join(lid, "doc_id")
+        feat.join(keepers, "doc_id")          # dedup: keepers only
+        .filter(F.col("quality") >= 0.4)
     )
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -848,13 +875,14 @@ def q_warp_tiles_chunks(spark, sf_dir):
                           float(xs.max()), float(ys.max())])
 
     split = 165  # deliberately not a chunk multiple
-    ch = chunks_to_df(spark, _half("a_left", 0, split), chunk=128, halo=8) \
-        .unionByName(chunks_to_df(spark, _half("b_right", split, fx["width"]),
-                                  chunk=128, halo=8))
+    halves = [_half("a_left", 0, split), _half("b_right", split, fx["width"])]
+    ch = chunks_to_df(spark, halves[0], chunk=128, halo=8) \
+        .unionByName(chunks_to_df(spark, halves[1], chunk=128, halo=8))
     inv = transformer(fx["srs"], 4326)
     bb = reproject_bbox(fx["bbox"], inv.transform, density=16,
                         nan_strategy="skip")
-    mtiles = tiles_df(spark, [9, 10], bbox_4326=bb)
+    mtiles = tiles_df(spark, [9, 10], bbox_4326=bb,
+                      rows_per_partition=65536)
     mos = warp_tiles(mtiles, ch, method="near", out_size=128,
                      join_strategy="chunks", chunk=128, halo=8, mosaic=True)
     out = single.unionByName(
@@ -867,12 +895,27 @@ def q_warp_tiles_chunks(spark, sf_dir):
     # (reference seam semantics: bilinear edge tree geowarp.js:793-833,
     # box windows geowarp.js:893-950).  bench.py times each mode
     # separately via the mode column (VERDICT r5 next #3).
-    from geowarp_spark.operators.warp_tiles import mosaic_chunks
+    from geowarp_spark.operators.warp_tiles import mosaic_chunks, mosaic_meta_df
 
-    composite = mosaic_chunks(ch, chunk=128, halo=8)
+    # the per-raster metadata is known right here (we built the halves),
+    # so pass it through instead of paying mosaic_chunks' driver-side
+    # distinct().collect() job at every query construction, and give the
+    # downstream warps the ANALYTIC lattice metadata so the composite is
+    # consumed exactly once per action (r8: it used to execute twice —
+    # pair discovery + payload join)
+    meta = [{"raster_id": h["raster_id"], "srs": int(h["srs"]),
+             "geotransform": [float(v) for v in h["geotransform"]],
+             "bands": int(h["data"].shape[0]), "dtype": str(h["data"].dtype),
+             "no_data": (None if h["no_data"] is None
+                         else float(h["no_data"])),
+             "raster_height": int(h["height"]),
+             "raster_width": int(h["width"])} for h in halves]
+    composite = mosaic_chunks(ch, chunk=128, halo=8, meta=meta)
+    comp_meta = mosaic_meta_df(spark, meta, chunk=128, halo=8)
     for m in ("bilinear", "median"):
         cm = warp_tiles(mtiles, composite, method=m, out_size=128,
-                        join_strategy="chunks", chunk=128, halo=8)
+                        join_strategy="chunks", chunk=128, halo=8,
+                        chunks_meta=comp_meta)
         out = out.unionByName(
             _warp_tile_stats(cm).withColumn("mode", F.lit(f"mosaic_{m}")))
     return out
@@ -907,7 +950,8 @@ def q_warp_vectorize_chunks(spark, sf_dir):
     from geowarp_spark.sources.fixtures import build_fixture
 
     fx = build_fixture("rgb_smallscale")
-    tiles = tiles_df(spark, [14], bbox_4326=[80.0, 7.0, 80.12, 7.12])
+    tiles = tiles_df(spark, [14], bbox_4326=[80.0, 7.0, 80.12, 7.12],
+                     rows_per_partition=65536)
     chunks = chunks_to_df(spark, fx, chunk=128, halo=8)
     out = warp_tiles(tiles, chunks, method="near-vectorize", out_size=256,
                      join_strategy="chunks", chunk=128, halo=8)
@@ -959,7 +1003,8 @@ def q_warp_tiff_ingest(spark, sf_dir):
     inv = transformer(fx["srs"], 4326)
     bb = reproject_bbox(fx["bbox"], inv.transform, density=16,
                         nan_strategy="skip")
-    tiles = tiles_df(spark, [9, 10], bbox_4326=bb)
+    tiles = tiles_df(spark, [9, 10], bbox_4326=bb,
+                     rows_per_partition=65536)
     chunks = tiff_chunks_df(spark, path, chunk=128, halo=8)
     out = warp_tiles(tiles, chunks, method="near", out_size=128,
                      join_strategy="chunks", chunk=128, halo=8)
@@ -968,7 +1013,8 @@ def q_warp_tiff_ingest(spark, sf_dir):
     # rule) — the warp must equal the SERIAL warp of the decimated
     # raster (fixtures/expected_warp_overview.parquet, pinned with its
     # own decimate=2 serial oracle)
-    ov_tiles = tiles_df(spark, [9], bbox_4326=bb)
+    ov_tiles = tiles_df(spark, [9], bbox_4326=bb,
+                        rows_per_partition=65536)
     ov_chunks = tiff_chunks_df(spark, path, chunk=128, halo=8, scale=2.0)
     ov_out = warp_tiles(ov_tiles, ov_chunks, method="near", out_size=128,
                         join_strategy="chunks", chunk=128, halo=8)
@@ -986,7 +1032,8 @@ def q_warp_tiff_ingest(spark, sf_dir):
         f.write(write_tiff(fx, compression="jpeg", layout="tiles"))
     os.replace(jtmp, jpath)
     atexit.register(lambda p=jpath: os.path.exists(p) and os.remove(p))
-    j_tiles = tiles_df(spark, [9], bbox_4326=bb)
+    j_tiles = tiles_df(spark, [9], bbox_4326=bb,
+                       rows_per_partition=65536)
     j_chunks = tiff_chunks_df(spark, jpath, chunk=128, halo=8)
     j_out = warp_tiles(j_tiles, j_chunks, method="near", out_size=128,
                        join_strategy="chunks", chunk=128, halo=8)

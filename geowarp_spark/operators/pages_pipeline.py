@@ -56,14 +56,14 @@ def pixel_counts(points: DataFrame, z: int, px_bits: int = 6,
     if bbox is not None:
         xmin, ymin, xmax, ymax = bbox
         if prune_col is not None:
-            from .spatial import cell_range_predicate
+            from .spatial import COVER_GUARD_CELLS, cell_range_predicate
             from ..grid.hilbert import (bbox_cover_cell_count,
                                         bbox_cover_cell_ids,
                                         coalesce_ranges)
 
             if prune_z is None:
                 raise ValueError("prune_col requires prune_z")
-            if bbox_cover_cell_count([bbox], prune_z) <= 4_000_000:
+            if bbox_cover_cell_count([bbox], prune_z) <= COVER_GUARD_CELLS:
                 ids = bbox_cover_cell_ids([bbox], prune_z)
                 ranges = coalesce_ranges(ids, max_ranges=prune_max_ranges)
                 points = points.filter(

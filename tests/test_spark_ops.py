@@ -1520,3 +1520,163 @@ def test_ivf_kmeans_quantizer_recall_and_determinism(spark):
     r_lsh = len(brute & got_lsh) / len(brute)
     assert r_ivf >= r_lsh, (r_ivf, r_lsh)
     assert r_ivf >= 0.6, r_ivf
+
+
+def test_mosaic_meta_df_matches_composite_metadata(spark):
+    """r8 drift guard: the analytic lattice metadata (mosaic_meta_df,
+    used as warp_tiles_chunks' pair-discovery side so the composite
+    executes once per action) must carry EXACTLY the (raster_id,
+    row_off, col_off, bbox_4326) the composite's rows carry — any drift
+    silently changes the matched tile set.  Meta rows for hole positions
+    (no composite row) are allowed: the payload inner join drops them."""
+    import numpy as np
+
+    from geowarp_spark.kernels.affine import Geotransform
+    from geowarp_spark.operators.warp_tiles import (chunks_to_df,
+                                                    mosaic_chunks,
+                                                    mosaic_meta_df)
+    from geowarp_spark.sources.fixtures import build_fixture
+
+    fx = build_fixture("rgb_smallscale")
+    g = Geotransform.from_bbox(fx["bbox"], fx["width"], fx["height"]).gt
+
+    def _half(rid, c0, c1):
+        d = np.ascontiguousarray(fx["data"][:, :, c0:c1])
+        gt = [g[0] + c0 * g[1], g[1], g[2], g[3] + c0 * g[4], g[4], g[5]]
+        w, h = int(d.shape[2]), int(d.shape[1])
+        cs = np.array([0.0, w, 0.0, w])
+        rs = np.array([0.0, 0.0, h, h])
+        xs = gt[0] + cs * gt[1] + rs * gt[2]
+        ys = gt[3] + cs * gt[4] + rs * gt[5]
+        return dict(fx, raster_id=rid, data=d, width=w, height=h,
+                    geotransform=gt,
+                    bbox=[float(xs.min()), float(ys.min()),
+                          float(xs.max()), float(ys.max())])
+
+    halves = [_half("a_left", 0, 165), _half("b_right", 165, fx["width"])]
+    ch = chunks_to_df(spark, halves[0], chunk=128, halo=8).unionByName(
+        chunks_to_df(spark, halves[1], chunk=128, halo=8))
+    meta = [{"raster_id": h["raster_id"], "srs": int(h["srs"]),
+             "geotransform": [float(v) for v in h["geotransform"]],
+             "bands": int(h["data"].shape[0]), "dtype": str(h["data"].dtype),
+             "no_data": None if h["no_data"] is None else float(h["no_data"]),
+             "raster_height": int(h["height"]),
+             "raster_width": int(h["width"])} for h in halves]
+    comp_rows = mosaic_chunks(ch, chunk=128, halo=8).select(
+        "raster_id", "row_off", "col_off", "bbox_4326").collect()
+    meta_rows = mosaic_meta_df(spark, meta, chunk=128, halo=8).collect()
+    comp = {(r["raster_id"], r["row_off"], r["col_off"]):
+            tuple(r["bbox_4326"]) for r in comp_rows}
+    ana = {(r["raster_id"], r["row_off"], r["col_off"]):
+           tuple(r["bbox_4326"]) for r in meta_rows}
+    # every composite row has an analytically identical meta row
+    assert set(comp) <= set(ana), set(comp) - set(ana)
+    for k in comp:
+        assert comp[k] == ana[k], (k, comp[k], ana[k])
+
+
+def test_pip_prune_z_mismatch_raises(spark, tmp_path):
+    """ADVICE r7: a prune_z differing from the stored column's zoom used
+    to silently filter ALL rows (disjoint id intervals); it must raise."""
+    import pytest
+
+    from geowarp_spark.operators.spatial import (pip_join_bbox,
+                                                 write_hilbert_sorted)
+
+    pts = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, 10.1, 10.1)],
+        "doc_id long, lon double, lat double")
+    path = str(tmp_path / "pts_z6.parquet")
+    write_hilbert_sorted(pts, path, z=6, num_files=1)
+    stored = spark.read.parquet(path)
+    boxes = spark.createDataFrame(
+        [(1, 9.0, 9.0, 11.0, 11.0)],
+        "tile_id long, xmin double, ymin double, xmax double, ymax double")
+    with pytest.raises(ValueError, match="does not match the zoom"):
+        pip_join_bbox(stored, boxes, prune_col="hcell", prune_z=8)
+    # the matching zoom still works and returns both points
+    ok = pip_join_bbox(stored, boxes, prune_col="hcell", prune_z=6)
+    assert ok.count() == 2
+
+
+def test_centroid_assign_single_centroid(spark):
+    """ADVICE r7: greatest() needs >= 2 args, so k=1 centroids (legal
+    k-means output for a degenerate sample) must not break assignment."""
+    import numpy as np
+
+    from geowarp_spark.operators.similarity import centroid_assign_expr
+
+    df = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+                               "vec_id long, embedding array<double>")
+    got = df.select(centroid_assign_expr(
+        "embedding", np.array([[1.0, 0.0]])).alias("b")).collect()
+    assert [r["b"] for r in got] == [0, 0]
+
+
+def test_sample_vectors_large_ids_no_overflow(spark):
+    """ADVICE r7: the id hash used to overflow BIGINT for ids >= ~3.47e9
+    (ANSI mode raises ARITHMETIC_OVERFLOW); the reduced-first form must
+    sample fine and keep the small-id order unchanged."""
+    from geowarp_spark.operators.similarity import sample_vectors
+
+    big = spark.createDataFrame(
+        [(4_000_000_000 + i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    got = sample_vectors(big, cap=3)
+    assert got.shape == (3, 2)
+
+
+def test_lang_id_keep_cols_matches_self_join(spark, sf_dir):
+    """r8: the keep_cols projection must produce exactly the rows the old
+    docs self-join on doc_id produced (same accuracy matrix)."""
+    from geowarp_spark.operators.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = {tuple(r) for r in
+              lang_id(docs).join(docs.select("doc_id", "lang"), "doc_id")
+              .groupBy("lang", "pred_lang").count().collect()}
+    kept = {tuple(r) for r in
+            lang_id(docs, keep_cols=("lang",))
+            .groupBy("lang", "pred_lang").count().collect()}
+    assert joined == kept
+
+
+def test_warp_chunks_fused_metadata_exchange_survives_aqe(spark):
+    """r8 companion to test_warp_chunks_stage_widths_survive_aqe: the
+    repartition-BEFORE-groupBy form (one exchange) must still spread the
+    per-chunk tile-key rows across partitions under AQE."""
+    from geowarp_spark.operators.warp_tiles import (
+        _cover_cells_sql, chunks_to_df, tiles_df)
+    from geowarp_spark.sources.fixtures import build_fixture
+    from geowarp_spark.kernels.bbox import reproject_bbox
+    from geowarp_spark.kernels.proj import transformer
+
+    fx = build_fixture("rgba_webmerc")
+    inv = transformer(fx["srs"], 4326)
+    bb = reproject_bbox(fx["bbox"], inv.transform, density=16,
+                        nan_strategy="skip")
+    tiles = tiles_df(spark, [8], bbox_4326=bb, rows_per_partition=65536)
+    chunks = chunks_to_df(spark, fx, chunk=128, halo=8)
+    tmeta = tiles.select("z", "x", "y", "bbox_4326")
+    cmeta = chunks.select("raster_id", "row_off", "col_off",
+                          F.col("bbox_4326").alias("chunk_bbox_4326"))
+    t = tmeta.withColumn("cell", F.explode(F.expr(_cover_cells_sql("bbox_4326", 6))))
+    c = cmeta.withColumn("cell", F.explode(F.expr(_cover_cells_sql("chunk_bbox_4326", 6))))
+    overlap = (
+        (F.col("bbox_4326")[0] <= F.col("chunk_bbox_4326")[2])
+        & (F.col("bbox_4326")[2] >= F.col("chunk_bbox_4326")[0])
+        & (F.col("bbox_4326")[1] <= F.col("chunk_bbox_4326")[3])
+        & (F.col("bbox_4326")[3] >= F.col("chunk_bbox_4326")[1]))
+    pairs = (t.join(c, "cell").drop("cell").filter(overlap)
+             .select("raster_id", "row_off", "col_off", "z", "x", "y"))
+    n_parts = spark.sparkContext.defaultParallelism
+    grouped = pairs.repartition(n_parts, "raster_id", "row_off", "col_off") \
+        .groupBy("raster_id", "row_off", "col_off").agg(
+            F.collect_set(F.struct("z", "x", "y")).alias("tile_keys"))
+    withtiles = chunks.join(grouped, ["raster_id", "row_off", "col_off"])
+    dist = (withtiles.select(F.spark_partition_id().alias("p"))
+            .groupBy("p").count().collect())
+    # 16 chunks hash-partitioned on their keys: no single partition may
+    # hold them all
+    assert len(dist) > 1, dist
+    assert max(r["count"] for r in dist) < 16, dist
