@@ -36,12 +36,22 @@ def _plane_weight_sql(p: int, seed: int) -> str:
     return f"(({p} * 31 + i * 17 + {seed} * ((i * i) % 19 + 1) * 23) % 7) - 3"
 
 
-def lsh_bucket_expr(vec_col: str, n_planes=12, seed=0):
-    """Sign-bit LSH bucket id from deterministic integer hyperplanes
-    (pure integer arithmetic — identical in any engine, no RNG seed to
-    ship).  ``seed`` selects an independent plane family so banded
-    callers (dedup.embedding_near_dups) get uncorrelated bucketings per
-    band; seed=0 reproduces the original pinned family."""
+def _plane_weight(p: int, i, seed: int):
+    """numpy mirror of _plane_weight_sql (i may be an int array)."""
+    import numpy as np
+
+    i = np.asarray(i, dtype=np.int64)
+    if seed == 0:
+        return ((p * 31 + i * 17) % 7 - 3).astype(np.float64)
+    return ((p * 31 + i * 17 + seed * ((i * i) % 19 + 1) * 23) % 7
+            - 3).astype(np.float64)
+
+
+def lsh_bucket_sql_expr(vec_col: str, n_planes=12, seed=0):
+    """The original pure-SQL form of lsh_bucket_expr (interpreted
+    higher-order functions) — kept for plan-audit comparisons and as
+    executable documentation of the exact semantics the vectorized
+    form reproduces."""
     bits = []
     for p in range(n_planes):
         w = _plane_weight_sql(p, seed)
@@ -52,6 +62,70 @@ def lsh_bucket_expr(vec_col: str, n_planes=12, seed=0):
         )
         bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
     return F.expr(" + ".join(bits)).cast("bigint")
+
+
+def lsh_bucket_expr(vec_col: str, n_planes=12, seed=0):
+    """Sign-bit LSH bucket id from deterministic integer hyperplanes
+    (pure integer arithmetic — identical in any engine, no RNG seed to
+    ship).  ``seed`` selects an independent plane family so banded
+    callers (dedup.embedding_near_dups) get uncorrelated bucketings per
+    band; seed=0 reproduces the original pinned family.
+
+    r8 (guide §4.2): evaluated as an Arrow-vectorized pandas_udf.
+    Higher-order functions don't participate in codegen, so the old
+    8-fold interpreted evaluation cost ~2 s for 5000x64 vectors at sf1
+    — per-element lambda interpretation, n_planes passes per row.  The
+    vectorized form is BIT-IDENTICAL by construction (pinned by
+    test_lsh_bucket_vectorized_matches_sql and every LSH/IVF/neardup
+    oracle hash):
+    - the dot accumulates LEFT-TO-RIGHT over dimensions (one vectorized
+      add per dimension), exactly like the SQL aggregate fold — numpy's
+      pairwise-summation dot would round differently and could flip a
+      sign bit near zero;
+    - Spark treats NaN as larger than any double, so ``dot >= 0`` is
+      TRUE for NaN — mirrored with isnan();
+    - a NULL vector yields bucket 0 (every CASE WHEN NULL falls to
+      ELSE 0), mirrored explicitly;
+    - an EMPTY vector also yields bucket 0: sequence(0, size-1) on
+      size 0 is sequence(0, -1) = [0, -1], so zip_with pads x with
+      NULLs and every dot folds to NULL -> ELSE 0 (pinned by the
+      edge-case rows in test_lsh_bucket_vectorized_matches_sql)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = int(n_planes)
+    sd = int(seed)
+
+    # NB: `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't infer — set real annotations explicitly (same
+    # workaround as the extract_invariant entry).
+    def _bucket_fn(v):
+        out = np.zeros(len(v), dtype=np.int64)
+        arrs = v.to_numpy()
+        isnull = np.array([a is None for a in arrs])
+        dims = np.array([0 if a is None else len(a) for a in arrs])
+        for d in np.unique(dims[~isnull]):
+            if d == 0:
+                continue      # empty vectors: bucket 0 (see docstring)
+            idx = np.flatnonzero((dims == d) & ~isnull)
+            M = np.empty((len(idx), int(d)), dtype=np.float64)
+            for r, j in enumerate(idx):
+                M[r, :] = arrs[j]
+            b = np.zeros(len(idx), dtype=np.int64)
+            ii = np.arange(int(d))
+            for p in range(planes):
+                W = _plane_weight(p, ii, sd)
+                acc = np.zeros(len(idx), dtype=np.float64)
+                for i in range(int(d)):
+                    acc = acc + M[:, i] * W[i]
+                bit = (acc >= 0) | np.isnan(acc)
+                b |= bit.astype(np.int64) << p
+            out[idx] = b
+        return pd.Series(out)
+
+    _bucket_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _bucket = F.pandas_udf(_bucket_fn, "long")
+    return _bucket(F.col(vec_col))
 
 
 def brute_force_topk(emb: DataFrame, queries: DataFrame, k=10,

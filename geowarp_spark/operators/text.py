@@ -98,17 +98,26 @@ def lang_id(docs: DataFrame, text_col="text", id_col="doc_id",
     e.g. the labeled lang for an accuracy matrix ride the scan instead
     of self-joining docs back on id, which costs a second scan plus a
     join (r8 plan audit: the self-join was lang_id's whole join stage)."""
-    toks = f"split(lower({text_col}), ' +')"
     langs = sorted(STOPWORDS)  # asc order = tie-break order
+    # tokenize ONCE into a projected column (r8): higher-order functions
+    # are interpreted (no codegen / no common-subexpression elimination),
+    # so referencing split(lower(text)) inside each of the 5 filters
+    # re-tokenized and re-lowercased every document 5x — measured 2.65 s
+    # at sf1 where this operator is compute-bound.  Same expressions over
+    # the same token array -> identical hit counts.
+    toked = docs.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        F.expr(f"split(lower({text_col}), ' +')").alias("_toks"))
     hit_cols = [
         F.expr(
-            "size(filter({t}, w -> w IN ({ws})))".format(
-                t=toks, ws=", ".join(f"'{w}'" for w in STOPWORDS[lang])
+            "size(filter(_toks, w -> w IN ({ws})))".format(
+                ws=", ".join(f"'{w}'" for w in STOPWORDS[lang])
             )
         ).alias(f"h_{lang}")
         for lang in langs
     ]
-    d = docs.select(F.col(id_col), *[F.col(c) for c in keep_cols], *hit_cols)
+    d = toked.select(F.col(id_col), *[F.col(c) for c in keep_cols],
+                     *hit_cols)
     total = sum(F.col(f"h_{la}") for la in langs)
     pred = F.when(total == 0, F.lit("und"))
     best = F.greatest(*[F.col(f"h_{la}") for la in langs])

@@ -466,3 +466,26 @@ def test_warp_col_range_matches_full_on_kept_region():
         outside = np.ones((64, 64), bool)
         outside[10:40, 20:50] = False
         assert len(np.unique(sub[:, outside])) <= 2  # fill (+0 for int)
+
+
+def test_reduce_median_matches_nanmedian():
+    """r8: the sort+middle median fast path must equal np.nanmedian
+    bit-for-bit on every mask shape (incl. all-invalid rows and even
+    counts, whose two middle values are averaged)."""
+    import warnings
+
+    import numpy as np
+
+    from geowarp_spark.kernels.stats import _reduce_simple
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        n, k = 257, int(rng.integers(1, 33))
+        v = rng.integers(-50, 255, size=(n, k)).astype(np.float64)
+        v[rng.random((n, k)) < 0.3] += 0.25
+        valid = rng.random((n, k)) < rng.random()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = np.nanmedian(np.where(valid, v, np.nan), axis=1)
+        got = _reduce_simple(v, valid, "median")
+        assert np.array_equal(want, got, equal_nan=True)

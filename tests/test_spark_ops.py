@@ -1680,3 +1680,30 @@ def test_warp_chunks_fused_metadata_exchange_survives_aqe(spark):
     # hold them all
     assert len(dist) > 1, dist
     assert max(r["count"] for r in dist) < 16, dist
+
+
+def test_lsh_bucket_vectorized_matches_sql(spark, sf_dir):
+    """r8: the Arrow-vectorized lsh_bucket_expr must reproduce the
+    interpreted SQL form bit-for-bit — including left-to-right float
+    accumulation, NaN (Spark: NaN >= 0 is true), NULL vectors
+    (bucket 0) and empty vectors (all sign bits set) — for both the
+    seed-0 family and a banded seed."""
+    from geowarp_spark.operators.similarity import (lsh_bucket_expr,
+                                                    lsh_bucket_sql_expr)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edge = spark.createDataFrame(
+        [(100001, [float("nan"), 1.0]), (100002, []),
+         (100003, None), (100004, [-1e-300, 1e-300])],
+        "vec_id long, embedding array<double>")
+    both = emb.select("vec_id", F.col("embedding").cast("array<double>")
+                      .alias("embedding")).unionByName(edge)
+    for planes, seed in ((8, 0), (12, 0), (12, 2)):
+        rows = both.select(
+            "vec_id",
+            lsh_bucket_expr("embedding", planes, seed).alias("vec_b"),
+            lsh_bucket_sql_expr("embedding", planes, seed).alias("sql_b"),
+        ).collect()
+        for r in rows:
+            assert r["vec_b"] == (r["sql_b"] if r["sql_b"] is not None
+                                  else 0), r
