@@ -709,7 +709,6 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
     Proven bit-identical to the mosaic plans by
     test_warp_tiles_all_strategies_identical and
     test_warp_chunks_cutline_resolution_rowrange."""
-    tmeta = tiles.select("z", "x", "y", "bbox_4326")
     # ``chunks_meta`` (r8): an alternative source for the pair-discovery
     # columns, e.g. mosaic_meta_df's analytic lattice rows.  Must hold a
     # SUPERSET of the chunk table's (raster_id, row_off, col_off) keys
@@ -717,19 +716,23 @@ def warp_tiles_chunks(tiles: DataFrame, chunks: DataFrame, *, method="near",
     # payload inner join below, so results are identical, and the chunk
     # table itself gains a single consumer (one execution per action
     # even for computed chunk sources like mosaic_chunks composites).
-    cmeta = (chunks_meta if chunks_meta is not None else chunks).select(
+    # Discovery is built as batched selectExpr/expr strings (r8): the
+    # Column-by-Column form cost ~10 py4j round trips per plan, and the
+    # frozen bench constructs these plans per mode per trial.
+    t = tiles.selectExpr(
+        "z", "x", "y", "bbox_4326",
+        f"explode({_cover_cells_sql('bbox_4326', bin_z)}) AS cell")
+    c = (chunks_meta if chunks_meta is not None else chunks).selectExpr(
         "raster_id", "row_off", "col_off",
-        F.col("bbox_4326").alias("chunk_bbox_4326"))
-    t = tmeta.withColumn("cell", F.explode(F.expr(_cover_cells_sql("bbox_4326", bin_z))))
-    c = cmeta.withColumn("cell", F.explode(F.expr(_cover_cells_sql("chunk_bbox_4326", bin_z))))
-    overlap = (
-        (F.col("bbox_4326")[0] <= F.col("chunk_bbox_4326")[2])
-        & (F.col("bbox_4326")[2] >= F.col("chunk_bbox_4326")[0])
-        & (F.col("bbox_4326")[1] <= F.col("chunk_bbox_4326")[3])
-        & (F.col("bbox_4326")[3] >= F.col("chunk_bbox_4326")[1])
-    )
+        "bbox_4326 AS chunk_bbox_4326",
+        f"explode({_cover_cells_sql('bbox_4326', bin_z)}) AS cell")
+    overlap = F.expr(
+        "bbox_4326[0] <= chunk_bbox_4326[2] AND "
+        "bbox_4326[2] >= chunk_bbox_4326[0] AND "
+        "bbox_4326[1] <= chunk_bbox_4326[3] AND "
+        "bbox_4326[3] >= chunk_bbox_4326[1]")
     pairs = (
-        t.join(c, "cell").drop("cell").filter(overlap)
+        t.join(c, "cell").filter(overlap)
         .select("raster_id", "row_off", "col_off", "z", "x", "y")
     )
     # collect_SET dedupes the pairs that shared several cover cells AND
